@@ -1,0 +1,102 @@
+"""Benchmark harness: index-build throughput + BM25 query latency + headline
+driver-table queries. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Input: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The fulltext corpus is the deterministic synthetic
+webtext fixture (FIXTURES.md) scaled as 600k docs * sf, generated
+distributed and cached under /tmp (regenerable bit-identically).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        print(json.dumps({"error": f"SPARK_GRAFT_SF_DIR not found: {sf_dir}"}))
+        raise SystemExit(2)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from information_retrieval_images_spark import entry_queries, fixtures
+    from information_retrieval_images_spark.catalog import Catalog
+    from information_retrieval_images_spark.operators.bm25 import bm25_topk_naive, bm25_topk_wand
+    from information_retrieval_images_spark.operators.index_build import build_index
+    from information_retrieval_images_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="ir-bench")
+    queries: dict[str, float] = {}
+    extras: dict = {"cpus": cpus}
+    t_total = time.time()
+
+    # --- fulltext engine: build throughput -----------------------------------
+    n_docs = max(2000, int(600_000 * sf))
+    corpus_path = f"/tmp/ir_bench_corpus_{n_docs}"
+    if not os.path.isdir(corpus_path):
+        fixtures.generate_pages_df(spark, n_docs, partitions=cpus).write.mode("overwrite").parquet(corpus_path)
+    pages = spark.read.parquet(corpus_path)
+    wh = f"/tmp/ir_bench_wh_{n_docs}"
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = Catalog(spark, wh)
+    t0 = time.time()
+    metrics = build_index(spark, pages, cat, lang="en", n_buckets=2)
+    queries["index_build"] = round(time.time() - t0, 3)
+    extras["n_docs_indexed"] = metrics["n_docs"]
+    extras["build_docs_per_sec"] = round(metrics["n_docs"] / queries["index_build"], 1)
+
+    # --- fulltext engine: query latency ---------------------------------------
+    qdf = spark.createDataFrame(fixtures.make_queries_pandas())
+    t0 = time.time()
+    n_wand = bm25_topk_wand(spark, cat, qdf, tasks_per_query=4).count()
+    queries["bm25_wand_50q"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_naive = bm25_topk_naive(spark, cat, qdf).count()
+    queries["bm25_naive_50q"] = round(time.time() - t0, 3)
+    extras["bm25_result_rows"] = {"wand": n_wand, "naive": n_naive}
+    extras["bm25_wand_sec_per_query"] = round(queries["bm25_wand_50q"] / fixtures.N_QUERIES, 4)
+
+    # --- driver-table headline queries ----------------------------------------
+    for name in [
+        "bm25_topk",
+        "term_df",
+        "minhash_lsh",
+        "simhash",
+        "cosine_topk",
+        "embed_neardup",
+        "tpch_pricing",
+        "top_customers",
+        "events_window",
+    ]:
+        fn = entry_queries.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total, 3)
+    out = {
+        "metric": "fulltext_index_build_and_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

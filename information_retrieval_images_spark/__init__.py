@@ -1,0 +1,35 @@
+"""information_retrieval_images_spark — a PySpark-native fulltext engine.
+
+A from-scratch inverted-index build + BM25 top-k query engine over
+Common-Crawl-style web pages, re-expressing the capabilities of the
+reference repo ``BenjaminRichter-g/Information_Retrieval_Images``
+(corpus ingest -> per-doc extraction UDF -> index build -> top-k scored
+search -> ranking evaluation -> incremental resume) Spark-first:
+
+- DataFrame/SQL plans optimized by Catalyst (scans, filters, joins, aggs,
+  global top-k); no RDD hot path, no per-row Python UDFs.
+- Custom kernels (HTML->text extraction, tokenization, SPIMI posting-run
+  generation, delta-gap+varint block codec, block-max WAND BM25 scoring)
+  live inside vectorized Arrow/pandas UDFs.
+- Custom *data layout* instead of custom Catalyst rules: term-range
+  partitioned, doc-sorted, block-compressed posting lists with per-block
+  max-score metadata (the skipping analogue of the reference's IVF_FLAT
+  nprobe pruning, vector_db.py:33-42).
+
+Package map:
+- ``textproc``   shared extraction/tokenization kernels (engine + oracle)
+- ``fixtures``   deterministic synthetic webtext corpus + query set
+- ``oracle``     single-process exhaustive BM25 reference scorer
+- ``codec``      delta-gap + varint posting-block codec (numpy)
+- ``session``    tuned SparkSession builders
+- ``catalog``    Iceberg-or-parquet table IO
+- ``sources``    pages corpus reader/generator
+- ``operators``  index build, BM25 query engines, dedup, ANN
+- ``functions``  text analysis / similarity column functions
+"""
+
+__version__ = "0.1.0"
+
+K1 = 1.2
+B = 0.75
+BLOCK_SIZE = 128

@@ -1,0 +1,554 @@
+"""Driver-facing query suite over /root/testdata tables.
+
+Each query has a Spark DataFrame implementation (built-in functions only —
+whole-stage-codegen'd, no Python in the plan) and a matching DuckDB oracle in
+``ORACLE_SQL``. Column names/aliases match exactly; floats are rounded to 6dp
+on both sides; every ORDER BY/top-k has a deterministic unique tiebreak.
+
+Families (SURVEY.md §2 inventory -> queries):
+- fulltext: tokenize/tf (A7), df/N/avgdl (A8), full BM25 top-k (T1) over
+  ``documents`` — the flagship, mirroring the engine's scoring exactly
+- text analysis: token counts, quality scores, language-ID heuristic,
+  content fingerprints (training-data-pipeline ops)
+- dedup: exact (hash groupBy), prefix-key, n-gram Jaccard, MinHash+LSH
+  candidate pairs, SimHash
+- similarity: brute-force cosine top-k over ``embeddings``, cosine near-dup
+  pairs
+- relational glue: TPC-H-ish agg/join/window/anti-join (S3, J1-J4, A1-A6, W2)
+
+Hash parity across engines: ``hex_to_long(md5(s)[:15])`` — verified identical
+between Spark ``conv(substring(md5(s),1,15),16,10)`` and DuckDB
+``('0x' || substr(md5(s),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1, B = 1.2, 0.75
+BM25_QUERY = "key value scan"  # flagship query terms (documents vocabulary)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, pos) — posexplode of the whitespace analyzer."""
+    return (
+        docs.select("doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "term"))
+        .where(F.col("term") != "")
+    )
+
+
+def _md5_long(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# --- fulltext family ----------------------------------------------------------
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 (k1=1.2,b=0.75) top-10 for a fixed query over documents
+    (lang='en'), computed with built-ins only: tokenize -> tf -> df -> score
+    -> rank. The index-backed engine (operators.bm25) matches this math."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qterms = spark.createDataFrame([(t,) for t in BM25_QUERY.split()], "term string").distinct()
+    tf = toks.join(F.broadcast(qterms), "term").groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.log1p((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("bm25_score"))
+    )
+    w = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "doc_id", "bm25_score")
+    )
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per term, top 20 (df desc, term asc) — A8."""
+    toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("lang") == "en"))
+    return (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, tf) posting rows for the flagship query terms — A7."""
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    qterms = spark.createDataFrame([(t,) for t in BM25_QUERY.split()], "term string").distinct()
+    return toks.join(F.broadcast(qterms), "term").groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection statistics (N, avgdl) over lang='en' — A8."""
+    toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("lang") == "en"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    return dl.agg(F.count("*").alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl"))
+
+
+# --- text-analysis family -------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 50))
+    return toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tokens"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of text) — P7/F2 analogue (db.py:120-122)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.md5(F.col("text")).alias("fp"))
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scores: token count, mean token length, stopword ratio."""
+    toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 200))
+    sw = F.col("term").isin(STOPWORDS).cast("int")
+    return toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.length("term")), 6).alias("mean_tok_len"),
+        F.round(F.avg(sw), 6).alias("stopword_ratio"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language-ID heuristic (en vs de marker ratios)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = _tokens(docs)
+    en = F.col("term").isin(STOPWORDS).cast("int")
+    de = F.col("term").isin(["der", "die", "das", "und", "nicht", "ist"]).cast("int")
+    r = toks.groupBy("doc_id").agg(F.avg(en).alias("en_r"), F.avg(de).alias("de_r"))
+    return r.select(
+        "doc_id", F.when(F.col("en_r") >= F.col("de_r"), F.lit("en")).otherwise(F.lit("de")).alias("pred_lang")
+    )
+
+
+# --- dedup family ------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (P7): groups sharing identical
+    3-token prefixes (full-text md5 yields no dups on this synthetic set)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(F.split(F.lower("text"), r"\s+"), 1, 3)).alias("prefix_key")
+    return (
+        docs.select("doc_id", key)
+        .groupBy("prefix_key")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-gram shingle Jaccard near-dup pairs among doc_id<80 (threshold .08)."""
+    toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 80))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.withColumn("t2", F.lead("term", 1).over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "t2").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= 0.08)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+N_MINHASH = 8
+LSH_BANDS = 4  # 2 rows per band
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms) + LSH (4 bands x 2 rows) candidate pairs, doc_id<150.
+    shingle->minhash->band->bucket-join; hash = md5-derived 60-bit ints
+    (identical in the DuckDB oracle)."""
+    toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)).select("doc_id", "term").distinct()
+    hashes = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("h"))
+    mh = (
+        toks.crossJoin(F.broadcast(hashes))
+        .withColumn("hv", _md5_long(F.concat_ws(":", F.col("h"), F.col("term"))))
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("h") / (N_MINHASH // LSH_BANDS)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "h", "minhash"))))).alias("sig"))
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+    return pairs
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit tf-weighted SimHash per document, doc_id<100."""
+    toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("hv", _md5_long("term"))
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    contrib = (
+        tf.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "delta",
+            F.when(F.expr("(hv >> bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("delta").alias("s"))
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))).alias("simhash")
+    )
+
+
+# --- similarity family -----------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 vs vec_id=0 (the ANN baseline; T1 analogue)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    cos = (
+        _dot(F.col("embedding"), F.col("qe"))
+        / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        joined.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("rank", "vec_id", "cosine")
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos > 0.3) among vec_id<100."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100).select("vec_id", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(_dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") > 0.3)
+    )
+
+
+# --- relational glue (TPC-H-ish) ----------------------------------------------------
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top event by value (W2 rank analogue), user_id<50."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+def q_customer_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J1/J2 resume pattern): customers with no orders since 1998,
+    per nation — the exact shape of the index build's checkpoint resume."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    n = _t(spark, sf_dir, "nation")
+    no = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        no.join(F.broadcast(n), no["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "term_df": q_term_df,
+    "term_tf": q_term_tf,
+    "doc_stats": q_doc_stats,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "quality": q_quality,
+    "langid": q_langid,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "embed_neardup": q_embed_neardup,
+    "tpch_pricing": q_tpch_pricing,
+    "top_customers": q_top_customers,
+    "events_window": q_events_window,
+    "customer_no_orders": q_customer_no_orders,
+}
+
+# --- DuckDB oracles -------------------------------------------------------------
+
+_TOKENS_EN = """
+tokens AS (
+  SELECT doc_id, t.term, t.pos FROM documents,
+    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term,
+                    unnest(range(1, len(regexp_split_to_array(lower(text), '\\s+')) + 1)) AS pos) t
+  WHERE lang = 'en' AND t.term <> ''
+)
+"""
+
+_TOKENS_ALL = _TOKENS_EN.replace("WHERE lang = 'en' AND", "WHERE")
+
+ORACLE_SQL = {
+    "bm25_topk": f"""
+WITH {_TOKENS_EN},
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT unnest(string_split('{BM25_QUERY}', ' ')) AS term),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tokens t JOIN qt USING (term) GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6) AS bm25_score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS INT) AS rank, doc_id, bm25_score
+FROM scored ORDER BY bm25_score DESC, doc_id ASC LIMIT 10
+""",
+    "term_df": f"""
+WITH {_TOKENS_EN}
+SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+""",
+    "term_tf": f"""
+WITH {_TOKENS_ALL},
+qt AS (SELECT DISTINCT unnest(string_split('{BM25_QUERY}', ' ')) AS term)
+SELECT t.term, t.doc_id, count(*) AS tf FROM tokens t JOIN qt USING (term) GROUP BY 1, 2
+""",
+    "doc_stats": f"""
+WITH {_TOKENS_EN},
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id)
+SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl
+""",
+    "token_counts": """
+WITH tokens AS (
+  SELECT doc_id, t.term FROM documents,
+    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term) t
+  WHERE doc_id < 50 AND t.term <> '')
+SELECT doc_id, count(*) AS n_tokens FROM tokens GROUP BY doc_id
+""",
+    "fingerprint": """
+SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 100
+""",
+    "quality": """
+WITH tokens AS (
+  SELECT doc_id, t.term FROM documents,
+    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term) t
+  WHERE doc_id < 200 AND t.term <> '')
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(length(term)), 6) AS mean_tok_len,
+       round(avg(CASE WHEN term IN ('the','a','of','and','to','in','is','it','for','on') THEN 1 ELSE 0 END), 6) AS stopword_ratio
+FROM tokens GROUP BY doc_id
+""",
+    "langid": """
+WITH tokens AS (
+  SELECT doc_id, t.term FROM documents,
+    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term) t
+  WHERE doc_id < 200 AND t.term <> ''),
+r AS (SELECT doc_id,
+        avg(CASE WHEN term IN ('the','a','of','and','to','in','is','it','for','on') THEN 1 ELSE 0 END) AS en_r,
+        avg(CASE WHEN term IN ('der','die','das','und','nicht','ist') THEN 1 ELSE 0 END) AS de_r
+      FROM tokens GROUP BY doc_id)
+SELECT doc_id, CASE WHEN en_r >= de_r THEN 'en' ELSE 'de' END AS pred_lang FROM r
+""",
+    "exact_dedup": """
+WITH k AS (
+  SELECT doc_id, array_to_string(regexp_split_to_array(lower(text), '\\s+')[1:3], ' ') AS prefix_key
+  FROM documents)
+SELECT prefix_key, count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM k GROUP BY prefix_key HAVING count(*) > 1
+""",
+    "ngram_jaccard": """
+WITH tokens AS (
+  SELECT doc_id, t.term, t.pos FROM documents,
+    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term,
+                    unnest(range(1, len(regexp_split_to_array(lower(text), '\\s+')) + 1)) AS pos) t
+  WHERE doc_id < 80 AND t.term <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term, 1) OVER w AS shingle
+    FROM tokens WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.08
+""",
+    "minhash_lsh": """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term FROM documents,
+    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term) t
+  WHERE doc_id < 150 AND t.term <> ''),
+mh AS (
+  SELECT doc_id, h,
+         min(CAST(('0x' || substr(md5(h || ':' || term), 1, 15)) AS BIGINT)) AS minhash
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS h)
+  GROUP BY doc_id, h),
+bands AS (
+  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         md5(string_agg(h || ':' || minhash, ',' ORDER BY h || ':' || minhash)) AS sig
+  FROM mh GROUP BY doc_id, 2)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    "simhash": """
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents,
+    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term) t
+  WHERE doc_id < 100 AND t.term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf,
+              CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+       FROM toks GROUP BY doc_id, term),
+contrib AS (
+  SELECT doc_id, bit, sum(CASE WHEN (hv >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN (SELECT unnest(range(0, 32)) AS bit)
+  GROUP BY doc_id, bit)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM contrib GROUP BY doc_id
+""",
+    "cosine_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+cos AS (
+  SELECT vec_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+  FROM pairs GROUP BY vec_id)
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank, vec_id, cosine
+FROM cos ORDER BY cosine DESC, vec_id ASC LIMIT 20
+""",
+    "embed_neardup": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+cos AS (
+  SELECT vec_a, vec_b, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+  FROM pairs GROUP BY vec_a, vec_b)
+SELECT vec_a, vec_b, cosine FROM cos WHERE cosine > 0.3
+""",
+    "tpch_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "top_customers": """
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+""",
+    "events_window": """
+SELECT user_id, event_id, round(value, 6) AS value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events WHERE user_id < 50)
+WHERE rnk = 1
+""",
+    "customer_no_orders": """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01')
+GROUP BY n_name
+""",
+}

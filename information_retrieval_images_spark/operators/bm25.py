@@ -1,0 +1,228 @@
+"""BM25 top-k query engines over the block-max posting table.
+
+Reference analogue: the central ANN top-k search operator
+(``vector_db.py:93-103``, called from ``server.py:146-147``) — replaced by
+BM25 (k1=1.2, b=0.75). Two engines share the same result contract
+``(query_id, rank, doc_id, url?, bm25_score)`` with ties broken by doc_id:
+
+- :func:`bm25_topk_naive` — pure DataFrame composition (decode UDF + joins +
+  hash agg + window rank). The Spark-native correctness baseline: every
+  physical op except block decode is Catalyst-planned.
+- :func:`bm25_topk_wand` — block-max scoring with doc-group skipping inside
+  an ``applyInPandas`` kernel: per (query, task) partial top-k maintains a
+  score threshold and skips *decoding* any 2^14-doc group whose summed
+  per-term block-max upper bound cannot beat it (the inverted-index analogue
+  of the reference's IVF nprobe pruning). Exact: the bound is a true upper
+  bound, so no true top-k member is ever pruned.
+
+Scale notes (100 TB): the query-term set is tiny -> broadcast; the postings
+scan is pruned by an IN-list predicate on ``term`` (parquet/Iceberg min-max
+on the sort column skips row groups). The only shuffles are the candidate
+aggregation and the final global top-k (TakeOrderedAndProject). For WAND,
+``tasks_per_query`` splits a query's doc-groups across executors so a
+head-term query does not serialize on one task.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import K1, B
+from ..catalog import Catalog
+from ..codec import decode_doc_gaps, decode_tfs
+from ..textproc import bm25_idf, bm25_tf_norm, tokenize_series
+from .index_build import DOC_GROUP_BITS
+
+RESULT_SCHEMA = "query_id int, rank int, doc_id long, bm25_score double"
+
+
+def _query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, query_text, k) -> (query_id, term, qtf, k); bag semantics
+    (a term repeated in the query contributes qtf times)."""
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = tokenize_series(pdf["query_text"])
+            frame = pd.DataFrame({"query_id": pdf["query_id"].values, "k": pdf["k"].values, "term": toks.values})
+            frame = frame.explode("term", ignore_index=True).dropna(subset=["term"])
+            if frame.empty:
+                yield pd.DataFrame({"query_id": pd.Series([], dtype="int32"), "term": pd.Series([], dtype=object), "qtf": pd.Series([], dtype="int32"), "k": pd.Series([], dtype="int32")})
+                continue
+            out = frame.groupby(["query_id", "k", "term"], sort=False).size().rename("qtf").reset_index()
+            yield pd.DataFrame(
+                {
+                    "query_id": out["query_id"].astype("int32"),
+                    "term": out["term"],
+                    "qtf": out["qtf"].astype("int32"),
+                    "k": out["k"].astype("int32"),
+                }
+            )
+
+    return queries.mapInPandas(tok, schema="query_id int, term string, qtf int, k int")
+
+
+def _matched_blocks(catalog: Catalog, qterms: DataFrame) -> DataFrame:
+    """Postings blocks for the query terms, with idf attached.
+
+    The collected term IN-list (queries are small by construction) becomes a
+    pushed parquet predicate -> row-group skipping on the term-sorted files;
+    the joins are broadcast (query side is tiny).
+    """
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    g = catalog.read("stats_global").collect()[0]
+    n_docs = int(g["n_docs"])
+    postings = catalog.read("postings").where(F.col("term").isin(terms))
+    stats = catalog.read("stats").where(F.col("term").isin(terms)).withColumn(
+        "idf", F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    )
+    return (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(stats.select("term", "idf")), "term")
+    ), n_docs, float(g["avgdl"])
+
+
+def bm25_topk_naive(spark: SparkSession, catalog: Catalog, queries: DataFrame) -> DataFrame:
+    """Decode-everything baseline: exact, fully Catalyst-planned after decode."""
+    qterms = _query_terms(queries)
+    blocks, _, avgdl = _matched_blocks(catalog, qterms)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            qs, ds, ss = [], [], []
+            for row in pdf.itertuples(index=False):
+                doc_ids = decode_doc_gaps(row.docs_enc)
+                tfs = decode_tfs(row.tfs_enc)
+                dls = decode_tfs(row.dls_enc)
+                score = row.idf * bm25_tf_norm(tfs, dls, avgdl, K1, B) * row.qtf
+                qs.append(np.full(doc_ids.size, row.query_id, dtype=np.int32))
+                ds.append(doc_ids)
+                ss.append(score)
+            if not qs:
+                yield pd.DataFrame({"query_id": pd.Series([], dtype="int32"), "doc_id": pd.Series([], dtype="int64"), "partial": pd.Series([], dtype="float64")})
+                continue
+            yield pd.DataFrame(
+                {"query_id": np.concatenate(qs), "doc_id": np.concatenate(ds), "partial": np.concatenate(ss)}
+            )
+
+    scored = blocks.select("query_id", "qtf", "idf", "docs_enc", "tfs_enc", "dls_enc").mapInPandas(
+        decode, schema="query_id int, doc_id long, partial double"
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("partial").alias("bm25_score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    ks = queries.select("query_id", "k")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(ks), "query_id")
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "bm25_score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_topk_wand(
+    spark: SparkSession,
+    catalog: Catalog,
+    queries: DataFrame,
+    tasks_per_query: int = 4,
+) -> DataFrame:
+    """Block-max scoring with doc-group skipping + threshold pruning.
+
+    Stage 1: blocks are routed to (query_id, task) where task = doc_group %
+    tasks_per_query; one applyInPandas kernel per task runs the pruned scorer
+    and emits a local top-k. Stage 2: global top-k per query (window rank over
+    <= tasks_per_query * k candidate rows — negligible).
+    """
+    qterms = _query_terms(queries)
+    blocks, _, avgdl = _matched_blocks(catalog, qterms)
+    blocks = blocks.withColumn(
+        "task", (F.shiftright(F.col("first_doc"), DOC_GROUP_BITS) % tasks_per_query).cast("int")
+    ).withColumn("ub", F.col("idf") * F.col("max_tf_norm") * F.col("qtf"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = int(pdf["query_id"].iloc[0])
+        k = int(pdf["k"].iloc[0])
+        groups = (pdf["first_doc"].values >> DOC_GROUP_BITS).astype(np.int64)
+        order = np.argsort(groups, kind="stable")
+        pdf = pdf.iloc[order]
+        groups = groups[order]
+        # per-group upper bound = sum over terms of the max block ub in group
+        gdf = pd.DataFrame({"g": groups, "term": pdf["term"].values, "ub": pdf["ub"].values})
+        g_ub = gdf.groupby(["g", "term"])["ub"].max().groupby(level=0).sum()
+        # visit groups in descending upper bound: threshold grows fastest
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of size k
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -np.inf
+
+        starts = np.flatnonzero(np.concatenate(([True], groups[1:] != groups[:-1])))
+        ends = np.append(starts[1:], groups.size)
+        group_ids = groups[starts]
+        visit = np.argsort(-g_ub.loc[group_ids].values, kind="stable")
+        docs_enc = pdf["docs_enc"].values
+        tfs_enc = pdf["tfs_enc"].values
+        dls_enc = pdf["dls_enc"].values
+        idfs = pdf["idf"].values
+        qtfs = pdf["qtf"].values
+        ubs = pdf["ub"].values
+        for vi in visit:
+            s, e = starts[vi], ends[vi]
+            if g_ub.loc[group_ids[vi]] <= theta():
+                continue  # skip decode of the whole doc-group
+            base = int(group_ids[vi]) << DOC_GROUP_BITS
+            local = np.zeros(1 << DOC_GROUP_BITS, dtype=np.float64)
+            touched = []
+            for j in range(s, e):
+                if ubs[j] <= 0:
+                    continue
+                d = decode_doc_gaps(docs_enc[j])
+                t = decode_tfs(tfs_enc[j])
+                l = decode_tfs(dls_enc[j])
+                contrib = idfs[j] * bm25_tf_norm(t, l, avgdl, K1, B) * qtfs[j]
+                off = d - base
+                np.add.at(local, off, contrib)
+                touched.append(off)
+            if not touched:
+                continue
+            offs = np.unique(np.concatenate(touched))
+            scores = local[offs]
+            for off, sc in zip(offs.tolist(), scores.tolist()):
+                if len(heap) < k:
+                    heapq.heappush(heap, (sc, -(base + off)))
+                elif (sc, -(base + off)) > heap[0]:
+                    heapq.heapreplace(heap, (sc, -(base + off)))
+        rows = sorted(((sc, -nd) for sc, nd in heap), key=lambda x: (-x[0], x[1]))
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(rows), query_id, dtype=np.int32),
+                "rank": np.arange(1, len(rows) + 1, dtype=np.int32),
+                "doc_id": np.array([d for _, d in rows], dtype=np.int64),
+                "bm25_score": np.array([s for s, _ in rows], dtype=np.float64),
+            }
+        )
+
+    cols = ["query_id", "k", "term", "qtf", "idf", "ub", "first_doc", "docs_enc", "tfs_enc", "dls_enc"]
+    local_topk = blocks.select(*cols, "task").groupBy("query_id", "task").applyInPandas(kernel, schema=RESULT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    ks = queries.select("query_id", "k")
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(ks), "query_id")
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "bm25_score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def attach_urls(results: DataFrame, catalog: Catalog) -> DataFrame:
+    """Result enrichment (reference: per-hit N+1 SQLite lookups,
+    ``server.py:165`` -> ``db.py:393-397``) done as ONE broadcast-able join."""
+    docs = catalog.read("docs").select("doc_id", "url")
+    return results.join(docs, "doc_id", "left").select(
+        "query_id", "rank", "doc_id", "url", "bm25_score"
+    )

@@ -1,0 +1,324 @@
+"""Inverted-index build: the engine's core job (reference K9 analogue —
+``vector_db.py:33-42`` builds the IVF_FLAT index; here the "index" is a
+term-range-partitioned, doc-sorted, delta-gap+varint block-max posting table).
+
+Pipeline (SURVEY.md §3.3 target lifecycle):
+
+  pages (Iceberg/parquet scan, lang pushdown)
+    -> dense doc_id assignment (two-pass: range partition by url, per-partition
+       counts -> driver prefix sums -> offset+local-rownum; deterministic,
+       no global sort bottleneck, no monotonically_increasing_id gaps)
+    -> mapInPandas extract (shared kernel, byte-identical per url)
+    -> docs table (doc_id, url, dl, text, bucket)
+    -> per BUCKET (checkpointed, resumable):
+         mapInPandas SPIMI run generation -> (term, doc_id, tf, dl)
+         -> repartitionByRange(P, term, doc_group)  # THE big shuffle; ranging
+            on (term, doc_group = doc_id >> 14) splits Zipf head terms across
+            adjacent partitions at doc-group granularity — skew handling
+            without a separate salt column — while keeping every (term,
+            doc_group) run whole in one partition, so block boundaries are
+            DETERMINISTIC regardless of sampled range bounds (kill/resume
+            yields bit-identical block rows)
+         -> sortWithinPartitions(term, doc_id)
+         -> mapInPandas block encoder (delta-gap+varint, <=BLOCK_SIZE docs per
+            block, blocks never cross fixed doc-range boundaries so query-time
+            doc-group scoring is exact; per-block max_tf_norm = WAND bound)
+         -> append postings (bucket-partitioned) + checkpoint row w/ metrics
+    -> stats table (term df) derived from postings; global (N, avgdl) from docs
+
+At 10^12 docs each bucket is an independent Iceberg append commit; resume
+left-anti-joins pages against the checkpoint manifest exactly like the
+reference's md5-presence anti-join (``db.py:324-339``), but per-partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import BLOCK_SIZE, K1, B
+from ..catalog import Catalog
+from ..codec import encode_doc_gaps, encode_tfs
+from ..textproc import bm25_tf_norm, extract_text_series, term_frequencies_batch, tokenize_series
+
+# Blocks never span a DOC_GROUP boundary: every posting of doc d lives in a
+# block with first_doc >> DOC_GROUP_BITS == d >> DOC_GROUP_BITS, which makes
+# query-time (query, doc_group) partial scoring exact (operators.bm25).
+DOC_GROUP_BITS = 14
+
+DOCS_SCHEMA = "doc_id long, url string, dl int, text string, bucket int"
+RUNS_SCHEMA = "term string, doc_id long, tf int, dl int"
+POSTINGS_SCHEMA = (
+    "term string, first_doc long, last_doc long, n_docs int, "
+    "max_tf_norm double, docs_enc binary, tfs_enc binary, dls_enc binary"
+)
+CHECKPOINT_SCHEMA = "bucket int, status string, n_docs long, n_postings long, wall_ms long, lineage string"
+
+
+# --- Step 0: dense doc_id assignment + extraction -----------------------------
+
+
+def assign_doc_ids(pages: DataFrame, n_buckets: int, num_partitions: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Deterministic dense doc ids (0..N-1 in url order) + extracted text.
+
+    Two-pass pattern that scales: count rows per url-range partition (tiny
+    driver-side prefix sum) then assign offset + local row number inside an
+    Arrow-batched mapInPandas. The oracle uses the same contract (sorted-url
+    rank), so doc ids are comparable engine-vs-oracle.
+
+    The range-partitioned sorted frame is PERSISTED before the counts job:
+    both passes must see bit-identical partitions (range-bound sampling and
+    AQE re-planning are not guaranteed stable across independent jobs —
+    without the persist, offsets can disagree with the assign pass and
+    produce duplicate ids). Returns (docs_df, persisted_handle); the caller
+    unpersists the handle after materializing docs_df.
+    """
+    from pyspark import StorageLevel
+
+    spark = pages.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        pages.repartitionByRange(nparts, "url")
+        .sortWithinPartitions("url")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = (
+        parts.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in range(nparts):
+        offsets[pid] = acc
+        acc += by_pid.get(pid, 0)
+    boff = spark.sparkContext.broadcast(offsets)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        next_id = boff.value[pid]
+        for pdf in batches:
+            n = len(pdf)
+            text = extract_text_series(pdf["html"])
+            toks = text.str.lower().str.split()
+            doc_ids = np.arange(next_id, next_id + n, dtype=np.int64)
+            next_id += n
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "url": pdf["url"].values,
+                    "dl": toks.map(len).astype("int32").values,
+                    "text": text.values,
+                    # round-robin: gaps inside a bucket's blocks are ~n_buckets,
+                    # still one varint byte for any sane bucket count
+                    "bucket": (doc_ids % n_buckets).astype("int32"),
+                }
+            )
+
+    return parts.mapInPandas(assign, schema=DOCS_SCHEMA), parts
+
+
+# --- SPIMI run generation ------------------------------------------------------
+
+
+def posting_runs(docs: DataFrame) -> DataFrame:
+    """docs -> (term, doc_id, tf, dl) runs via the shared SPIMI kernel."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield term_frequencies_batch(pdf["doc_id"], pdf["text"])
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=RUNS_SCHEMA)
+
+
+# --- Block encoder --------------------------------------------------------------
+
+
+def _encode_term_run(term: str, doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> list[tuple]:
+    """One term's sorted postings -> block rows (<=BLOCK_SIZE docs, never
+    crossing a doc-group boundary)."""
+    rows = []
+    groups = doc_ids >> DOC_GROUP_BITS
+    # split points: every BLOCK_SIZE docs AND every group change
+    change = np.flatnonzero(groups[1:] != groups[:-1]) + 1
+    bounds = [0]
+    prev = 0
+    ci = 0
+    n = doc_ids.size
+    while prev < n:
+        nxt = prev + BLOCK_SIZE
+        while ci < change.size and change[ci] <= prev:
+            ci += 1
+        if ci < change.size and change[ci] < nxt:
+            nxt = int(change[ci])
+        nxt = min(nxt, n)
+        bounds.append(nxt)
+        prev = nxt
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        d, t, l = doc_ids[s:e], tfs[s:e], dls[s:e]
+        mx = float(np.max(bm25_tf_norm(t, l, avgdl, K1, B)))
+        rows.append(
+            (
+                term,
+                int(d[0]),
+                int(d[-1]),
+                int(d.size),
+                mx,
+                encode_doc_gaps(d),
+                encode_tfs(t),
+                encode_tfs(l),
+            )
+        )
+    return rows
+
+
+def encode_blocks(runs_sorted: DataFrame, avgdl: float) -> DataFrame:
+    """Sorted (term, doc_id) runs -> compressed block rows.
+
+    mapInPandas with cross-batch buffering: a term's run may span Arrow
+    batches within a partition; the trailing partial term is held until the
+    next batch (terms may also span *partitions* — that is fine: doc ranges
+    are disjoint, so the query engines just see multiple block sequences).
+    """
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tail: pd.DataFrame | None = None
+        cols = ["term", "first_doc", "last_doc", "n_docs", "max_tf_norm", "docs_enc", "tfs_enc", "dls_enc"]
+
+        def flush(pdf: pd.DataFrame, keep_tail: bool):
+            nonlocal tail
+            if pdf.empty:
+                return None
+            terms = pdf["term"].values
+            if keep_tail:
+                last = terms[-1]
+                cut = np.searchsorted(terms, last, side="left")
+                if cut == 0:  # whole batch is one term: keep buffering
+                    tail = pdf
+                    return None
+                tail = pdf.iloc[cut:]
+                pdf = pdf.iloc[:cut]
+                terms = terms[:cut]
+            else:
+                tail = None
+            out = []
+            starts = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
+            ends = np.append(starts[1:], terms.size)
+            d_all = pdf["doc_id"].values.astype(np.int64)
+            t_all = pdf["tf"].values.astype(np.int64)
+            l_all = pdf["dl"].values.astype(np.int64)
+            for s, e in zip(starts, ends):
+                out.extend(_encode_term_run(terms[s], d_all[s:e], t_all[s:e], l_all[s:e], avgdl))
+            return pd.DataFrame(out, columns=cols) if out else None
+
+        for pdf in batches:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            res = flush(pdf, keep_tail=True)
+            if res is not None:
+                yield res
+        if tail is not None:
+            res = flush(tail.reset_index(drop=True), keep_tail=False)
+            if res is not None:
+                yield res
+
+    return runs_sorted.mapInPandas(enc, schema=POSTINGS_SCHEMA)
+
+
+# --- The build job ---------------------------------------------------------------
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    catalog: Catalog,
+    *,
+    lang: str | None = "en",
+    n_buckets: int = 4,
+    num_term_partitions: int | None = None,
+    resume: bool = False,
+) -> dict:
+    """Build (or resume) the full index. Returns build metrics.
+
+    Resumability contract (north rule): each bucket's postings append is
+    followed by a checkpoint row; on resume, buckets present in the manifest
+    are skipped (left-anti semantics) and partially-written buckets are
+    discarded and rebuilt. Kill at any point -> identical final index.
+    """
+    t_start = time.time()
+    nparts = num_term_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if lang is not None:
+        pages = pages.where(F.col("lang") == lang)
+
+    done: set[int] = set()
+    if resume and catalog.exists("checkpoints"):
+        done = {r["bucket"] for r in catalog.read("checkpoints").select("bucket").distinct().collect()}
+    else:
+        for t in ("docs", "postings", "checkpoints", "stats", "stats_global"):
+            catalog.drop(t)
+
+    # Step 0: docs (itself checkpoint #-1: reused verbatim on resume so doc
+    # ids are stable across kill/restart)
+    if not (resume and catalog.exists("docs")):
+        docs, persisted = assign_doc_ids(pages, n_buckets=n_buckets)
+        catalog.write(docs.repartition(nparts, "bucket"), "docs")
+        persisted.unpersist()
+    docs = catalog.read("docs")
+
+    g = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"])
+    catalog.write(
+        spark.createDataFrame([(n_docs, avgdl, K1, B)], "n_docs long, avgdl double, k1 double, b double"),
+        "stats_global",
+    )
+
+    metrics = {"n_docs": n_docs, "avgdl": avgdl, "buckets": {}}
+    for b in range(n_buckets):
+        if b in done:
+            metrics["buckets"][b] = "resumed"
+            continue
+        t0 = time.time()
+        if not catalog.use_iceberg:
+            # discard any partial files from a killed run of this bucket
+            shutil.rmtree(os.path.join(catalog.path("postings"), f"bucket={b}"), ignore_errors=True)
+        bucket_docs = docs.where(F.col("bucket") == b)
+        runs = posting_runs(bucket_docs).withColumn(
+            "doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS)
+        )
+        runs = (
+            runs.repartitionByRange(nparts, "term", "doc_group")
+            .sortWithinPartitions("term", "doc_id")
+            .drop("doc_group")
+        )
+        blocks = encode_blocks(runs, avgdl).withColumn("bucket", F.lit(b))
+        if catalog.use_iceberg:
+            catalog.append(blocks, "postings")
+        else:
+            blocks.write.mode("append").partitionBy("bucket").parquet(catalog.path("postings"))
+        bstats = bucket_docs.agg(F.count("*").alias("nd"), F.sum("dl").alias("np")).collect()[0]
+        wall_ms = int((time.time() - t0) * 1000)
+        lineage = json.dumps(
+            {"job": "build_index", "bucket": b, "n_term_partitions": nparts, "avgdl": avgdl, "k1": K1, "b": B}
+        )
+        ck = spark.createDataFrame(
+            [(b, "done", int(bstats["nd"]), int(bstats["np"] or 0), wall_ms, lineage)], CHECKPOINT_SCHEMA
+        )
+        catalog.append(ck, "checkpoints")
+        metrics["buckets"][b] = {"docs": int(bstats["nd"]), "wall_ms": wall_ms}
+
+    # term stats derived from postings -> consistent under resume
+    stats = catalog.read("postings").groupBy("term").agg(F.sum("n_docs").cast("long").alias("df"))
+    catalog.write(stats.repartitionByRange(max(1, nparts // 4), "term").sortWithinPartitions("term"), "stats")
+    metrics["wall_s"] = time.time() - t_start
+    return metrics

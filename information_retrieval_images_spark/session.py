@@ -1,0 +1,42 @@
+"""SparkSession builders tuned for the fulltext workload.
+
+Defaults chosen for scale-readiness (AQE on, skew-join on, Arrow on) and
+applied identically in tests (local[2..4]), bench (local[$SPARK_GRAFT_CPUS])
+and a real cluster (spark-submit --py-files with the same conf set).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+SPARK_CONF = {
+    # Arrow batch transfer for every pandas UDF (the only Python in the plan).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # AQE: runtime coalescing + skew-join splitting; the north rule demands
+    # explicit skew handling and AQE is the runtime half of it (build-time
+    # half is range partitioning on (term, doc_id) — see operators.index_build).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Partition sizing: at 100 TB these come from cluster conf; locally keep
+    # shuffle partitions near core count so tiny SFs don't drown in tasks.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(master: str | None = None, app_name: str = "ir-fulltext", extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.master(master or f"local[{cpus}]").appName(app_name)
+    for k, v in SPARK_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,139 @@
+"""Shared text-processing kernels: HTML->text extraction and tokenization.
+
+THE single implementation used by both the Spark engine (inside Arrow-batched
+pandas UDFs) and the pure-Python oracle scorer — never two copies, so the
+"byte-identical extracted text per url" invariant holds by construction.
+
+Reference analogue: the expensive per-document model UDF
+(``gemini_api.py:29-65`` in the reference) is replaced by a deterministic,
+pure-local HTML->text extractor; the reference's entire analyzer is
+``text.lower().split()`` (``MAP.py:5-6``, ``caption_generator_post.py:15-16``)
+and the engine keeps exactly those semantics.
+
+All kernels are pandas-Series-vectorized (compiled regexes via
+``Series.str.replace`` — no per-row Python in the Spark hot path, per the
+input hint).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# --- HTML -> text extraction -------------------------------------------------
+# Deterministic tag-stripper adequate for Common-Crawl-style pages:
+# 1. drop <script>/<style>/<!--comment--> blocks wholesale
+# 2. strip remaining tags
+# 3. decode the handful of entities that matter for tokenization
+# 4. collapse whitespace runs to single spaces, trim
+# The exact normalization is part of the engine contract (byte-identity per
+# url is asserted in tests), so change nothing here without regenerating
+# goldens.
+
+_RE_SCRIPT = re.compile(r"(?is)<script\b.*?</script\s*>")
+_RE_STYLE = re.compile(r"(?is)<style\b.*?</style\s*>")
+_RE_COMMENT = re.compile(r"(?s)<!--.*?-->")
+_RE_TAG = re.compile(r"(?s)<[^>]*>")
+_RE_WS = re.compile(r"\s+")
+
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+_RE_ENTITY = re.compile("|".join(re.escape(k) for k in _ENTITIES))
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Vectorized HTML->text over a Series of ``bytes`` (or str) values.
+
+    Returns a Series of str. This is the engine UDF body AND the oracle
+    extractor (oracle wraps single values in a 1-element Series).
+    """
+    s = html.map(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else ("" if b is None else str(b)))
+    s = s.str.replace(_RE_SCRIPT, " ", regex=True)
+    s = s.str.replace(_RE_STYLE, " ", regex=True)
+    s = s.str.replace(_RE_COMMENT, " ", regex=True)
+    s = s.str.replace(_RE_TAG, " ", regex=True)
+    s = s.str.replace(_RE_ENTITY, lambda m: _ENTITIES[m.group(0)], regex=True)
+    s = s.str.replace(_RE_WS, " ", regex=True).str.strip()
+    return s
+
+
+def extract_text(html: bytes | str) -> str:
+    """Single-value convenience wrapper (oracle path) — same kernel."""
+    return extract_text_series(pd.Series([html]))[0]
+
+
+# --- Tokenization ------------------------------------------------------------
+# Reference analyzer parity: lowercase + whitespace split (MAP.py:5-6).
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase + whitespace-split. The one analyzer, oracle included."""
+    return text.lower().split()
+
+
+def tokenize_series(text: pd.Series) -> pd.Series:
+    """Vectorized analyzer: Series[str] -> Series[list[str]]."""
+    return text.str.lower().str.split()
+
+
+def term_frequencies_batch(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
+    """SPIMI run generation for one Arrow batch: (doc_id, text) rows ->
+    (term, doc_id, tf, dl) posting rows, pandas-vectorized via
+    explode + groupby (no per-row Python loop).
+
+    Reference analogue: the text->indexable-representation step
+    (``embeddings.py:12-31``), reshaped as a UDTF (1 row in, many out).
+    """
+    toks = tokenize_series(texts)
+    dl = toks.map(len).astype("int32")
+    frame = pd.DataFrame({"doc_id": doc_ids.values, "dl": dl.values, "term": toks.values})
+    frame = frame.explode("term", ignore_index=True)
+    frame = frame.dropna(subset=["term"])
+    if frame.empty:
+        return pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "tf": pd.Series([], dtype="int32"),
+                "dl": pd.Series([], dtype="int32"),
+            }
+        )
+    out = (
+        frame.groupby(["term", "doc_id", "dl"], sort=False)
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    out["tf"] = out["tf"].astype("int32")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["dl"] = out["dl"].astype("int32")
+    return out[["term", "doc_id", "tf", "dl"]]
+
+
+# --- BM25 math ---------------------------------------------------------------
+# One formula, float64, used by oracle, naive engine and WAND engine.
+# idf per Robertson/Sparck-Jones as used by Lucene: ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+
+def bm25_idf(df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_tf_norm(tf, dl, avgdl: float, k1: float = 1.2, b: float = 0.75):
+    """tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) — the idf-free factor.
+
+    Monotonically increasing in tf and bounded by (k1+1); per-block maxima of
+    this quantity are the block-max WAND upper bounds.
+    """
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))

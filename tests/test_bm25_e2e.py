@@ -1,0 +1,115 @@
+"""End-to-end golden test: build index over the synthetic fixture corpus,
+run the frozen query set, compare rank-identically to the oracle scorer
+(SURVEY.md §5 — the Spark analogue of the reference's --post-test frozen
+corpus + committed-CSV pattern, post_test_score.py:9-79)."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from information_retrieval_images_spark import fixtures
+from information_retrieval_images_spark.operators.bm25 import (
+    attach_urls,
+    bm25_topk_naive,
+    bm25_topk_wand,
+)
+from information_retrieval_images_spark.operators.index_build import build_index
+from information_retrieval_images_spark.oracle import (
+    build_oracle_index,
+    oracle_results_frame,
+)
+
+N_DOCS = 300
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages = fixtures.make_pages_pandas(N_DOCS)
+    queries = fixtures.make_queries_pandas(n_queries=N_QUERIES)
+    idx = build_oracle_index(pages, lang="en")
+    expected = oracle_results_frame(idx, queries)
+    return pages, queries, idx, expected
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    from information_retrieval_images_spark.catalog import Catalog
+
+    pages, queries, idx, expected = corpus
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    pages_df = spark.createDataFrame(pages)
+    metrics = build_index(spark, pages_df, cat, lang="en", n_buckets=3)
+    return cat, metrics
+
+
+def _assert_rank_identical(got: pd.DataFrame, expected: pd.DataFrame):
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    expected = expected.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(expected), f"{len(got)} vs {len(expected)} result rows"
+    assert got["query_id"].tolist() == expected["query_id"].tolist()
+    assert got["rank"].tolist() == expected["rank"].tolist()
+    assert got["doc_id"].tolist() == expected["doc_id"].tolist()
+    for a, b in zip(got["bm25_score"], expected["bm25_score"]):
+        assert math.isclose(a, b, rel_tol=1e-9), (a, b)
+
+
+def test_extraction_byte_identity(spark, corpus, built):
+    """The north-rule invariant: engine extracted text == oracle per url."""
+    pages, _, idx, _ = corpus
+    cat, _ = built
+    docs = cat.read("docs").select("doc_id", "url", "text").toPandas()
+    assert len(docs) == idx.n_docs
+    from information_retrieval_images_spark.textproc import extract_text
+
+    by_url = {r.url: r.text for r in docs.itertuples()}
+    en = pages[pages["lang"] == "en"]
+    for row in en.itertuples(index=False):
+        assert by_url[row.url] == extract_text(row.html)
+
+
+def test_docid_contract(spark, corpus, built):
+    """Dense 0..N-1 ids in ascending url order, matching the oracle."""
+    _, _, idx, _ = corpus
+    cat, _ = built
+    docs = cat.read("docs").select("doc_id", "url").toPandas().sort_values("doc_id")
+    assert docs["doc_id"].tolist() == list(range(idx.n_docs))
+    assert docs["url"].tolist() == [idx.url_of[i] for i in range(idx.n_docs)]
+
+
+def test_stats_match_oracle(spark, corpus, built):
+    _, _, idx, _ = corpus
+    cat, _ = built
+    g = cat.read("stats_global").collect()[0]
+    assert g["n_docs"] == idx.n_docs
+    assert math.isclose(g["avgdl"], idx.avgdl, rel_tol=1e-12)
+    stats = {r["term"]: r["df"] for r in cat.read("stats").collect()}
+    assert len(stats) == len(idx.postings)
+    for term, plist in idx.postings.items():
+        assert stats[term] == len(plist), term
+
+
+def test_naive_rank_identity(spark, corpus, built):
+    _, queries, _, expected = corpus
+    cat, _ = built
+    qdf = spark.createDataFrame(queries)
+    got = bm25_topk_naive(spark, cat, qdf).toPandas()
+    _assert_rank_identical(got, expected[["query_id", "rank", "doc_id", "bm25_score"]])
+
+
+def test_wand_rank_identity(spark, corpus, built):
+    _, queries, _, expected = corpus
+    cat, _ = built
+    qdf = spark.createDataFrame(queries)
+    got = bm25_topk_wand(spark, cat, qdf, tasks_per_query=3).toPandas()
+    _assert_rank_identical(got, expected[["query_id", "rank", "doc_id", "bm25_score"]])
+
+
+def test_attach_urls(spark, corpus, built):
+    _, queries, idx, expected = corpus
+    cat, _ = built
+    qdf = spark.createDataFrame(queries.head(3))
+    got = attach_urls(bm25_topk_naive(spark, cat, qdf), cat).toPandas()
+    for r in got.itertuples():
+        assert r.url == idx.url_of[r.doc_id]

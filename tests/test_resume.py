@@ -1,0 +1,79 @@
+"""Resumability: kill the build mid-way, resume, assert the final index is
+identical to an uninterrupted build (north rule; reference analogue: the
+md5-presence idempotent re-run, db.py:113-116 / anti-join db.py:324-339)."""
+
+import pandas as pd
+import pytest
+
+from information_retrieval_images_spark import fixtures
+from information_retrieval_images_spark.catalog import Catalog
+from information_retrieval_images_spark.operators.index_build import build_index
+
+N_DOCS = 200
+
+
+class KillingCatalog(Catalog):
+    """Raises mid-build: after bucket 0's checkpoint, the next bucket's
+    postings get written but its checkpoint append is killed — simulating a
+    crash between data write and manifest commit (the worst spot)."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.checkpoint_appends = 0
+        self.armed = True
+
+    def append(self, df, name):
+        if name == "checkpoints" and self.armed:
+            self.checkpoint_appends += 1
+            if self.checkpoint_appends == 2:
+                raise RuntimeError("simulated crash before checkpoint commit")
+        super().append(df, name)
+
+
+def _postings_key(cat: Catalog) -> pd.DataFrame:
+    pdf = cat.read("postings").toPandas()
+    pdf["docs_enc"] = pdf["docs_enc"].map(bytes)
+    pdf["tfs_enc"] = pdf["tfs_enc"].map(bytes)
+    pdf["dls_enc"] = pdf["dls_enc"].map(bytes)
+    return pdf.sort_values(["term", "bucket", "first_doc"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return spark.createDataFrame(fixtures.make_pages_pandas(N_DOCS))
+
+
+def test_kill_resume_identical(spark, pages_df, tmp_path_factory):
+    golden_cat = Catalog(spark, str(tmp_path_factory.mktemp("golden")))
+    build_index(spark, pages_df, golden_cat, n_buckets=3)
+
+    cat = KillingCatalog(spark, str(tmp_path_factory.mktemp("killed")))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index(spark, pages_df, cat, n_buckets=3)
+    # crashed state: 1 checkpoint, partial postings for the killed bucket
+    assert cat.read("checkpoints").count() == 1
+
+    cat.armed = False
+    metrics = build_index(spark, pages_df, cat, n_buckets=3, resume=True)
+    assert metrics["buckets"][0] == "resumed"
+    assert metrics["buckets"][1] != "resumed"
+
+    got, want = _postings_key(cat), _postings_key(golden_cat)
+    pd.testing.assert_frame_equal(
+        got.drop(columns=[]), want, check_like=False
+    )
+    assert cat.read("checkpoints").count() == 3
+    # lineage + metrics recorded per partition batch
+    ck = cat.read("checkpoints").toPandas()
+    assert set(ck["status"]) == {"done"}
+    assert (ck["n_docs"] > 0).all() and (ck["wall_ms"] >= 0).all()
+    assert ck["lineage"].str.contains("build_index").all()
+
+
+def test_resume_noop_when_complete(spark, pages_df, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("noop")))
+    build_index(spark, pages_df, cat, n_buckets=2)
+    before = _postings_key(cat)
+    metrics = build_index(spark, pages_df, cat, n_buckets=2, resume=True)
+    assert all(v == "resumed" for v in metrics["buckets"].values())
+    pd.testing.assert_frame_equal(_postings_key(cat), before)
