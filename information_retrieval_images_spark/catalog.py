@@ -39,15 +39,22 @@ class Catalog:
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
         if self.use_iceberg:
             writer = df.writeTo(f"{name}")
+            if partition_by:
+                from pyspark.sql.functions import col
+
+                writer = writer.partitionedBy(*[col(c) for c in partition_by])
             if mode == "overwrite":
                 writer.createOrReplace()
             else:
                 writer.append()
         else:
-            df.write.mode(mode).parquet(self.path(name))
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self.path(name))
 
     def append(self, df: DataFrame, name: str) -> None:
         self.write(df, name, mode="append")

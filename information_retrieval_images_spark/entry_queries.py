@@ -328,6 +328,43 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup with the streaming operator (same plan runs
+    under Structured Streaming with a watermark — streaming.windowed_event_counts)."""
+    from .streaming import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(ev)
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed candidate pairs over embeddings (the near-dup scale path;
+    hyperplanes are seeded literals — no SQL oracle, rows-only check)."""
+    from .operators.ann import lsh_bucketed_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    got = lsh_bucketed_pairs(emb, n_planes=6, dim=64, threshold=0.15)
+    return got.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantized) ANN top-10 vs vec_id=0 — the reference's
+    nlist/nprobe search (vector_db.py:94) Spark-side. Approximate; rows-only."""
+    from .operators.ann import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_cells=8, iters=2, sample=512)
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = ivf_topk(emb.where(F.col("vec_id") != 0), cents, list(q), k=10, nprobe=4)
+    return got.select("id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_customer_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (J1/J2 resume pattern): customers with no orders since 1998,
     per nation — the exact shape of the index build's checkpoint resume."""
@@ -360,6 +397,9 @@ QUERIES = {
     "tpch_pricing": q_tpch_pricing,
     "top_customers": q_top_customers,
     "events_window": q_events_window,
+    "events_hourly": q_events_hourly,
+    "ann_lsh_pairs": q_ann_lsh_pairs,
+    "ivf_topk": q_ivf_topk,
     "customer_no_orders": q_customer_no_orders,
 }
 
@@ -544,6 +584,11 @@ SELECT user_id, event_id, round(value, 6) AS value FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
   FROM events WHERE user_id < 50)
 WHERE rnk = 1
+""",
+    "events_hourly": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
 """,
     "customer_no_orders": """
 SELECT n_name, count(*) AS n_customers

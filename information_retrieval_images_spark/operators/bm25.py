@@ -140,9 +140,15 @@ def bm25_topk_wand(
     """
     qterms = _query_terms(queries)
     blocks, _, avgdl = _matched_blocks(catalog, qterms)
+    # Per-block upper bound from (max_tf, min_dl) under the CURRENT avgdl —
+    # a true bound even when blocks were encoded under older collection
+    # statistics (incremental appends); see index_build.POSTINGS_SCHEMA.
+    ub_tf_norm = (F.col("max_tf") * (K1 + 1.0)) / (
+        F.col("max_tf") + K1 * (1.0 - B + B * F.col("min_dl") / F.lit(avgdl))
+    )
     blocks = blocks.withColumn(
         "task", (F.shiftright(F.col("first_doc"), DOC_GROUP_BITS) % tasks_per_query).cast("int")
-    ).withColumn("ub", F.col("idf") * F.col("max_tf_norm") * F.col("qtf"))
+    ).withColumn("ub", F.col("idf") * ub_tf_norm * F.col("qtf"))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])

@@ -1,0 +1,153 @@
+"""Dataset-scale deduplication operators (P7 family — the reference's
+content-hash dedup, db.py:113-122, generalized to near-dup at corpus scale).
+
+All return DataFrames and compose from built-ins; the only shuffles are the
+groupBys/joins that define each algorithm. Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_sim, md5_long, minhash_signature
+from ..functions.text import rolling_fingerprint, tokens_col
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via normalized-content hash groupBy.
+
+    One shuffle on a 8-byte key; at 100 TB this is the cheapest possible
+    formulation (map-side partial agg collapses uniques before the shuffle).
+    Returns (fp, n_docs, keep_id) for groups with duplicates.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), rolling_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact-dup group — the
+    full-table dedup used before index build. Window over fp partitions."""
+    w = Window.partitionBy("__fp").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__fp", rolling_fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + LSH banding: near-dup candidate pairs.
+
+    shingle(unigram set) -> minhash signature -> band signature -> bucket
+    self-join. The self-join is on (band, sig) — uniform-width keys, so the
+    shuffle is balanced; candidate verification (exact Jaccard) is left to
+    the caller on the (small) candidate set, the standard two-phase plan.
+    """
+    rows_per_band = n_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("id"), minhash_signature(tokens_col(text_col), n_hashes).alias("sig"))
+    )
+    band_rows = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("sig", i * rows_per_band + 1, rows_per_band) for i in range(bands)])
+        ).alias("band", "band_sig"),
+    ).select("id", "band", F.md5(F.concat_ws(",", F.col("band_sig"))).alias("bsig"))
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.08,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (verification stage or small sets;
+    O(pairs-sharing-a-shingle) — use minhash_lsh_candidates to pre-filter at
+    scale, then verify with this on the candidates)."""
+    toks = df.select(F.col(id_col).alias("id"), F.posexplode(tokens_col(text_col)).alias("pos", "term"))
+    w = Window.partitionBy("id").orderBy("pos")
+    sh = toks
+    grams = [F.col("term")]
+    for i in range(1, n):
+        sh = sh.withColumn(f"t{i}", F.lead("term", i).over(w))
+        grams.append(F.col(f"t{i}"))
+    sh = sh.where(grams[-1].isNotNull()).select("id", F.concat_ws(" ", *grams).alias("shingle")).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """tf-weighted SimHash per document (near-dup by hamming distance).
+
+    Expressed as explode + groupBy — two balanced shuffles; the per-bit
+    cross-join is against a 64-row broadcast range.
+    """
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf")).withColumn("hv", md5_long("term"))
+    bit_df = df.sparkSession.range(bits).select(F.col("id").cast("int").alias("bit"))
+    contrib = (
+        tf.crossJoin(F.broadcast(bit_df))
+        .withColumn("delta", F.when(F.expr("(hv >> bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")))
+        .groupBy("id", "bit")
+        .agg(F.sum("delta").alias("s"))
+    )
+    return contrib.groupBy("id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. All-pairs formulation — correct but
+    O(n^2); at scale route through operators.ann.lsh_bucketed_pairs first."""
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -57,9 +57,16 @@ DOC_GROUP_BITS = 14
 
 DOCS_SCHEMA = "doc_id long, url string, dl int, text string, bucket int"
 RUNS_SCHEMA = "term string, doc_id long, tf int, dl int"
+# max_tf_norm is the tight WAND bound for the build-time avgdl; (max_tf,
+# min_dl) let the query engine derive a correct (slightly looser) bound for
+# the CURRENT avgdl — tf_norm is increasing in tf and decreasing in dl, so
+# tf_norm(max_tf, min_dl, avgdl_now) >= tf_norm(tf_i, dl_i, avgdl_now) for
+# every posting in the block. This keeps pruning exact after incremental
+# appends shift collection statistics (operators.incremental).
 POSTINGS_SCHEMA = (
     "term string, first_doc long, last_doc long, n_docs int, "
-    "max_tf_norm double, docs_enc binary, tfs_enc binary, dls_enc binary"
+    "max_tf_norm double, max_tf int, min_dl int, "
+    "docs_enc binary, tfs_enc binary, dls_enc binary"
 )
 CHECKPOINT_SCHEMA = "bucket int, status string, n_docs long, n_postings long, wall_ms long, lineage string"
 
@@ -67,7 +74,13 @@ CHECKPOINT_SCHEMA = "bucket int, status string, n_docs long, n_postings long, wa
 # --- Step 0: dense doc_id assignment + extraction -----------------------------
 
 
-def assign_doc_ids(pages: DataFrame, n_buckets: int, num_partitions: int | None = None) -> tuple[DataFrame, DataFrame]:
+def assign_doc_ids(
+    pages: DataFrame,
+    n_buckets: int,
+    num_partitions: int | None = None,
+    start_id: int = 0,
+    fixed_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """Deterministic dense doc ids (0..N-1 in url order) + extracted text.
 
     Two-pass pattern that scales: count rows per url-range partition (tiny
@@ -107,7 +120,7 @@ def assign_doc_ids(pages: DataFrame, n_buckets: int, num_partitions: int | None 
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
-        next_id = boff.value[pid]
+        next_id = start_id + boff.value[pid]
         for pdf in batches:
             n = len(pdf)
             text = extract_text_series(pdf["html"])
@@ -122,7 +135,11 @@ def assign_doc_ids(pages: DataFrame, n_buckets: int, num_partitions: int | None 
                     "text": text.values,
                     # round-robin: gaps inside a bucket's blocks are ~n_buckets,
                     # still one varint byte for any sane bucket count
-                    "bucket": (doc_ids % n_buckets).astype("int32"),
+                    "bucket": (
+                        np.full(n, fixed_bucket, dtype=np.int32)
+                        if fixed_bucket is not None
+                        else (doc_ids % n_buckets).astype("int32")
+                    ),
                 }
             )
 
@@ -175,6 +192,8 @@ def _encode_term_run(term: str, doc_ids: np.ndarray, tfs: np.ndarray, dls: np.nd
                 int(d[-1]),
                 int(d.size),
                 mx,
+                int(t.max()),
+                int(l.min()),
                 encode_doc_gaps(d),
                 encode_tfs(t),
                 encode_tfs(l),
@@ -194,7 +213,10 @@ def encode_blocks(runs_sorted: DataFrame, avgdl: float) -> DataFrame:
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tail: pd.DataFrame | None = None
-        cols = ["term", "first_doc", "last_doc", "n_docs", "max_tf_norm", "docs_enc", "tfs_enc", "dls_enc"]
+        cols = [
+            "term", "first_doc", "last_doc", "n_docs", "max_tf_norm",
+            "max_tf", "min_dl", "docs_enc", "tfs_enc", "dls_enc",
+        ]
 
         def flush(pdf: pd.DataFrame, keep_tail: bool):
             nonlocal tail
@@ -260,6 +282,9 @@ def build_index(
     nparts = num_term_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if lang is not None:
         pages = pages.where(F.col("lang") == lang)
+    # only url+html survive to the id-assignment shuffle/persist (the input
+    # text column is never read: extraction owns the text)
+    pages = pages.select("url", "html")
 
     done: set[int] = set()
     if resume and catalog.exists("checkpoints"):
@@ -272,7 +297,11 @@ def build_index(
     # ids are stable across kill/restart)
     if not (resume and catalog.exists("docs")):
         docs, persisted = assign_doc_ids(pages, n_buckets=n_buckets)
-        catalog.write(docs.repartition(nparts, "bucket"), "docs")
+        # directory-partition by bucket (each of the nparts tasks writes one
+        # file per bucket): bucket-filtered reads prune directories AND keep
+        # full file-level parallelism — never repartition(n, "bucket"), which
+        # collapses to n_buckets live partitions
+        catalog.write(docs, "docs", partition_by=["bucket"])
         persisted.unpersist()
     docs = catalog.read("docs")
 
@@ -296,16 +325,20 @@ def build_index(
         runs = posting_runs(bucket_docs).withColumn(
             "doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS)
         )
-        runs = (
+        # persist the SPIMI runs: repartitionByRange's boundary-sampling pass
+        # would otherwise re-execute the whole extract+tokenize kernel
+        runs = runs.persist()
+        sorted_runs = (
             runs.repartitionByRange(nparts, "term", "doc_group")
             .sortWithinPartitions("term", "doc_id")
             .drop("doc_group")
         )
-        blocks = encode_blocks(runs, avgdl).withColumn("bucket", F.lit(b))
+        blocks = encode_blocks(sorted_runs, avgdl).withColumn("bucket", F.lit(b))
         if catalog.use_iceberg:
             catalog.append(blocks, "postings")
         else:
             blocks.write.mode("append").partitionBy("bucket").parquet(catalog.path("postings"))
+        runs.unpersist()
         bstats = bucket_docs.agg(F.count("*").alias("nd"), F.sum("dl").alias("np")).collect()[0]
         wall_ms = int((time.time() - t0) * 1000)
         lineage = json.dumps(

@@ -1,0 +1,126 @@
+"""Two-parallelism scaling benchmark (north rule: >=0.8 efficiency N -> 4N).
+
+No real multi-node cluster exists in this sandbox, so the same spark-submit
+artifact runs the identical build job at local[8] and local[32] on the same
+input corpus; throughput at both + efficiency = (T_32 / T_8) / 4 go to
+BENCH/BASELINE.md. Each measurement is a fresh JVM (subprocess) so executor
+thread pools, shuffle partitions and memory are per-run.
+
+Usage: python scripts/scaling_bench.py [n_docs] [--out BENCH/BASELINE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+import os
+os.environ["SPARK_GRAFT_SHUFFLE"] = str({cores})
+from information_retrieval_images_spark.session import get_spark
+from information_retrieval_images_spark.catalog import Catalog
+from information_retrieval_images_spark.operators.index_build import build_index
+
+spark = get_spark(master="local[{cores}]", app_name="scaling-bench-{cores}")
+pages = spark.read.parquet({corpus!r})
+wh = "/tmp/ir_scale_wh_{cores}"
+shutil.rmtree(wh, ignore_errors=True)
+cat = Catalog(spark, wh)
+t0 = time.time()
+m = build_index(spark, pages, cat, lang="en", n_buckets=2, num_term_partitions={cores})
+dt = time.time() - t0
+
+# query throughput at this parallelism too
+from information_retrieval_images_spark import fixtures
+from information_retrieval_images_spark.operators.bm25 import bm25_topk_wand
+qdf = spark.createDataFrame(fixtures.make_queries_pandas())
+tq = time.time()
+bm25_topk_wand(spark, cat, qdf, tasks_per_query=4).count()
+qdt = time.time() - tq
+print("RESULT " + json.dumps({{"cores": {cores}, "build_s": round(dt, 2),
+    "docs": m["n_docs"], "docs_per_sec": round(m["n_docs"] / dt, 1),
+    "query_batch_s": round(qdt, 2)}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, corpus: str) -> dict:
+    code = WORKER.format(repo=REPO, cores=cores, corpus=corpus)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker local[{cores}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_docs", nargs="?", type=int, default=120_000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    corpus = f"/tmp/ir_bench_corpus_{args.n_docs}"
+    if not os.path.isdir(corpus):
+        sys.path.insert(0, REPO)
+        from information_retrieval_images_spark import fixtures
+        from information_retrieval_images_spark.session import get_spark
+
+        spark = get_spark(master="local[32]", app_name="corpus-gen")
+        fixtures.generate_pages_df(spark, args.n_docs, partitions=64).write.mode("overwrite").parquet(corpus)
+        spark.stop()
+
+    lo = run_at(args.low, corpus)
+    hi = run_at(args.high, corpus)
+    ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
+    eff = ratio / (args.high / args.low)
+    report = {
+        "n_docs": lo["docs"],
+        "low": lo,
+        "high": hi,
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    md = f"""# BENCH baseline — measured numbers
+
+## Scaling efficiency (north rule: >=0.8 from N to 4N parallelism)
+
+No multi-node cluster is available in this sandbox; the identical build job
+(`jobs/build_index_job.py` code path, fresh JVM per run) ran at
+local[{args.low}] and local[{args.high}] over the same
+{lo['docs']:,}-doc synthetic webtext corpus (FIXTURES.md schema).
+
+| parallelism | build wall (s) | docs/sec | 50-query WAND batch (s) |
+|---|---|---|---|
+| local[{args.low}] | {lo['build_s']} | {lo['docs_per_sec']} | {lo['query_batch_s']} |
+| local[{args.high}] | {hi['build_s']} | {hi['docs_per_sec']} | {hi['query_batch_s']} |
+
+- throughput speedup {args.low} -> {args.high} cores ({args.high // args.low}x): **{ratio:.2f}x**
+- scaling efficiency = ({hi['docs_per_sec']} / {lo['docs_per_sec']}) / {args.high // args.low} = **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+Measured {report['ts']}; regenerate with `python scripts/scaling_bench.py {args.n_docs}`.
+"""
+    with open(args.out, "w") as f:
+        f.write(md)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

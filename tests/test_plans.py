@@ -1,0 +1,58 @@
+"""Physical-plan assertions: the layout/plan properties the engine is
+designed around must be visible in .explain (SURVEY.md §4.2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_images_spark import plans
+from information_retrieval_images_spark.sources.pages import read_pages
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    from information_retrieval_images_spark import fixtures
+
+    p = str(tmp_path_factory.mktemp("pp") / "pages")
+    spark.createDataFrame(fixtures.make_pages_pandas(50)).write.parquet(p)
+    return p
+
+
+def test_lang_filter_is_pushed(spark, pages_path):
+    df = read_pages(spark, pages_path, lang="en")
+    assert plans.has_pushed_filter(df, "lang")
+
+
+def test_column_pruning_reaches_scan(spark, pages_path):
+    df = read_pages(spark, pages_path).select("url", "lang")
+    cols = plans.scan_read_schema(df)
+    assert "html" not in cols and "text" not in cols
+    assert "url" in cols
+
+
+def test_query_term_filter_prunes_postings(spark, tmp_path_factory):
+    """The IN-list on term must reach the postings scan (row-group skipping
+    on the term-sorted files — the engine's partition-pruning analogue)."""
+    from information_retrieval_images_spark import fixtures
+    from information_retrieval_images_spark.catalog import Catalog
+    from information_retrieval_images_spark.operators.index_build import build_index
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    build_index(spark, spark.createDataFrame(fixtures.make_pages_pandas(60)), cat, n_buckets=1)
+    df = cat.read("postings").where(F.col("term").isin(["term000000", "term000007"]))
+    assert plans.has_pushed_filter(df, "term")
+
+
+def test_small_dim_join_broadcasts(spark, pages_path):
+    big = read_pages(spark, pages_path)
+    small = spark.createDataFrame([("en", "English")], "lang string, lang_name string")
+    joined = big.join(F.broadcast(small), "lang")
+    assert plans.has_broadcast_join(joined)
+
+
+def test_single_shuffle_for_tf_agg(spark, pages_path):
+    """tokenize -> tf groupBy must plan exactly one exchange (partial agg
+    map-side, final after the shuffle)."""
+    df = read_pages(spark, pages_path)
+    toks = df.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+    tf = toks.groupBy("term").count()
+    assert plans.count_exchanges(tf) == 1
