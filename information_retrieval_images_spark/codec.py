@@ -53,6 +53,48 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for t in range(1, _MAX_VARINT_BYTES):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * t)).astype(np.int64)
+    return nbytes
+
+
+def segmented_varint_encode(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
+    """Encode ALL values in one vectorized pass, then split the byte stream
+    into per-segment payloads. Equivalent to (but ~100x faster than) calling
+    :func:`varint_encode` per segment — rare terms make segments tiny, so
+    per-call overhead would dominate an index build (web text: half the
+    vocabulary appears in exactly one document)."""
+    buf = varint_encode(values)
+    pos = np.zeros(values.size + 1, dtype=np.int64)
+    np.cumsum(varint_nbytes(values), out=pos[1:])
+    return [buf[pos[s]:pos[e]] for s, e in zip(starts, ends)]
+
+
+def concat_varint_decode(buffers) -> np.ndarray:
+    """Decode a sequence of varint payloads as one stream (values are
+    self-delimiting, so concatenation composes); split with the caller's
+    known per-segment counts."""
+    return varint_decode(b"".join(buffers))
+
+
+def segmented_gap_cumsum(gaps: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Absolute doc ids from concatenated per-segment delta gaps (the first
+    gap of each segment is the absolute id). Fully vectorized segmented
+    cumsum: global cumsum minus the pre-segment prefix."""
+    g = np.ascontiguousarray(gaps, dtype=np.int64)
+    if g.size == 0:
+        return g
+    c = np.cumsum(g)
+    starts = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    base = np.where(starts > 0, c[starts - 1], 0)
+    return c - np.repeat(base, counts)
+
+
 def encode_doc_gaps(doc_ids: np.ndarray) -> bytes:
     """Strictly-increasing doc ids -> delta-gap varint payload."""
     d = np.ascontiguousarray(doc_ids, dtype=np.int64)

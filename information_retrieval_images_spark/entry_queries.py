@@ -365,6 +365,70 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("id", F.round("cosine", 6).alias("cosine"))
 
 
+def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """BM25 ranking reused by the eval queries (same math as q_bm25_topk)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qterms = spark.createDataFrame([(t,) for t in BM25_QUERY.split()], "term string").distinct()
+    tf = toks.join(F.broadcast(qterms), "term").groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.log1p((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "partial",
+            F.col("idf") * (F.col("tf") * (K1 + 1.0)) / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def q_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 overlap fraction between BM25 and raw-tf rankings — the
+    reference's two-model top-N overlap golden (post_test_score.py:34-79)."""
+    bm25 = _bm25_ranked(spark, sf_dir, k=10).select("doc_id")
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    toks = _tokens(docs)
+    qterms = spark.createDataFrame([(t,) for t in BM25_QUERY.split()], "term string").distinct()
+    tf_rank = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tfsum"))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("tfsum"), F.asc("doc_id"))))
+        .where(F.col("rank") <= 10)
+        .select("doc_id")
+    )
+    common = bm25.join(tf_rank, "doc_id").count()
+    return spark.createDataFrame([(round(common / 10.0, 6),)], "overlap double")
+
+
+def q_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision of the BM25 top-20 against relevant = docs
+    containing every query term (MAP.py:1-18 positional AP)."""
+    from .operators.evaluation import average_precision
+
+    ranked = _bm25_ranked(spark, sf_dir, k=20).select(F.lit(0).alias("query_id"), "rank", "doc_id")
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    toks = _tokens(docs).select("doc_id", "term").distinct()
+    qterms = BM25_QUERY.split()
+    relevant = (
+        toks.where(F.col("term").isin(qterms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == len(set(qterms)))
+        .select(F.lit(0).alias("query_id"), "doc_id")
+    )
+    ap = average_precision(ranked, relevant)
+    return ap.select(F.round("ap", 6).alias("ap"))
+
+
 def q_customer_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (J1/J2 resume pattern): customers with no orders since 1998,
     per nation — the exact shape of the index build's checkpoint resume."""
@@ -398,6 +462,8 @@ QUERIES = {
     "top_customers": q_top_customers,
     "events_window": q_events_window,
     "events_hourly": q_events_hourly,
+    "eval_overlap": q_eval_overlap,
+    "eval_map": q_eval_map,
     "ann_lsh_pairs": q_ann_lsh_pairs,
     "ivf_topk": q_ivf_topk,
     "customer_no_orders": q_customer_no_orders,
@@ -589,6 +655,49 @@ WHERE rnk = 1
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2
+""",
+    "eval_overlap": f"""
+WITH {_TOKENS_EN},
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT unnest(string_split('{BM25_QUERY}', ' ')) AS term),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tokens t JOIN qt USING (term) GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+bm25 AS (
+  SELECT tf.doc_id, sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s GROUP BY tf.doc_id),
+bm25_top AS (SELECT doc_id FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10),
+tf_top AS (
+  SELECT doc_id FROM (SELECT doc_id, sum(tf) AS tfsum FROM tf GROUP BY doc_id)
+  ORDER BY tfsum DESC, doc_id ASC LIMIT 10)
+SELECT round(count(*) / 10.0, 6) AS overlap FROM bm25_top JOIN tf_top USING (doc_id)
+""",
+    "eval_map": f"""
+WITH {_TOKENS_EN},
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT unnest(string_split('{BM25_QUERY}', ' ')) AS term),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tokens t JOIN qt USING (term) GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM (
+    SELECT tf.doc_id, sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s GROUP BY tf.doc_id)
+  ORDER BY rank LIMIT 20),
+relevant AS (
+  SELECT doc_id FROM tf GROUP BY doc_id
+  HAVING count(DISTINCT term) = (SELECT count(*) FROM qt)),
+hits AS (
+  SELECT r.rank,
+         sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (ORDER BY r.rank) AS hits_at,
+         rel.doc_id IS NOT NULL AS is_rel
+  FROM ranked r LEFT JOIN relevant rel USING (doc_id))
+SELECT round(coalesce(sum(hits_at / rank) FILTER (WHERE is_rel), 0)
+       / (SELECT count(*) FROM relevant), 6) AS ap
+FROM hits
 """,
     "customer_no_orders": """
 SELECT n_name, count(*) AS n_customers

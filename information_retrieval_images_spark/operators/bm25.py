@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .. import K1, B
 from ..catalog import Catalog
-from ..codec import decode_doc_gaps, decode_tfs
+from ..codec import concat_varint_decode, segmented_gap_cumsum
 from ..textproc import bm25_idf, bm25_tf_norm, tokenize_series
 from .index_build import DOC_GROUP_BITS
 
@@ -93,24 +93,28 @@ def bm25_topk_naive(spark: SparkSession, catalog: Catalog, queries: DataFrame) -
     blocks, _, avgdl = _matched_blocks(catalog, qterms)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one varint pass over ALL blocks in the batch (payloads are
+        # self-delimiting), weights repeated per posting — no per-block loop
         for pdf in batches:
-            qs, ds, ss = [], [], []
-            for row in pdf.itertuples(index=False):
-                doc_ids = decode_doc_gaps(row.docs_enc)
-                tfs = decode_tfs(row.tfs_enc)
-                dls = decode_tfs(row.dls_enc)
-                score = row.idf * bm25_tf_norm(tfs, dls, avgdl, K1, B) * row.qtf
-                qs.append(np.full(doc_ids.size, row.query_id, dtype=np.int32))
-                ds.append(doc_ids)
-                ss.append(score)
-            if not qs:
+            if pdf.empty:
                 yield pd.DataFrame({"query_id": pd.Series([], dtype="int32"), "doc_id": pd.Series([], dtype="int64"), "partial": pd.Series([], dtype="float64")})
                 continue
+            counts = pdf["n_docs"].values.astype(np.int64)
+            gaps = concat_varint_decode(pdf["docs_enc"]).astype(np.int64)
+            doc_ids = segmented_gap_cumsum(gaps, counts)
+            tfs = concat_varint_decode(pdf["tfs_enc"]).astype(np.float64)
+            dls = concat_varint_decode(pdf["dls_enc"]).astype(np.float64)
+            w = (pdf["idf"].values * pdf["qtf"].values).astype(np.float64)
+            partial = np.repeat(w, counts) * bm25_tf_norm(tfs, dls, avgdl, K1, B)
             yield pd.DataFrame(
-                {"query_id": np.concatenate(qs), "doc_id": np.concatenate(ds), "partial": np.concatenate(ss)}
+                {
+                    "query_id": np.repeat(pdf["query_id"].values.astype(np.int32), counts),
+                    "doc_id": doc_ids,
+                    "partial": partial,
+                }
             )
 
-    scored = blocks.select("query_id", "qtf", "idf", "docs_enc", "tfs_enc", "dls_enc").mapInPandas(
+    scored = blocks.select("query_id", "qtf", "idf", "n_docs", "docs_enc", "tfs_enc", "dls_enc").mapInPandas(
         decode, schema="query_id int, doc_id long, partial double"
     )
     agg = scored.groupBy("query_id", "doc_id").agg(F.sum("partial").alias("bm25_score"))
@@ -173,29 +177,26 @@ def bm25_topk_wand(
         docs_enc = pdf["docs_enc"].values
         tfs_enc = pdf["tfs_enc"].values
         dls_enc = pdf["dls_enc"].values
+        ndocs_col = pdf["n_docs"].values.astype(np.int64)
         idfs = pdf["idf"].values
         qtfs = pdf["qtf"].values
-        ubs = pdf["ub"].values
         for vi in visit:
             s, e = starts[vi], ends[vi]
             if g_ub.loc[group_ids[vi]] <= theta():
                 continue  # skip decode of the whole doc-group
             base = int(group_ids[vi]) << DOC_GROUP_BITS
+            # batch-decode every block of the group in one varint pass
+            counts = ndocs_col[s:e]
+            gaps = concat_varint_decode(docs_enc[s:e]).astype(np.int64)
+            d = segmented_gap_cumsum(gaps, counts)
+            t = concat_varint_decode(tfs_enc[s:e]).astype(np.float64)
+            l = concat_varint_decode(dls_enc[s:e]).astype(np.float64)
+            w = np.repeat((idfs[s:e] * qtfs[s:e]).astype(np.float64), counts)
+            contrib = w * bm25_tf_norm(t, l, avgdl, K1, B)
+            off = d - base
             local = np.zeros(1 << DOC_GROUP_BITS, dtype=np.float64)
-            touched = []
-            for j in range(s, e):
-                if ubs[j] <= 0:
-                    continue
-                d = decode_doc_gaps(docs_enc[j])
-                t = decode_tfs(tfs_enc[j])
-                l = decode_tfs(dls_enc[j])
-                contrib = idfs[j] * bm25_tf_norm(t, l, avgdl, K1, B) * qtfs[j]
-                off = d - base
-                np.add.at(local, off, contrib)
-                touched.append(off)
-            if not touched:
-                continue
-            offs = np.unique(np.concatenate(touched))
+            np.add.at(local, off, contrib)
+            offs = np.unique(off)
             scores = local[offs]
             for off, sc in zip(offs.tolist(), scores.tolist()):
                 if len(heap) < k:
@@ -212,7 +213,7 @@ def bm25_topk_wand(
             }
         )
 
-    cols = ["query_id", "k", "term", "qtf", "idf", "ub", "first_doc", "docs_enc", "tfs_enc", "dls_enc"]
+    cols = ["query_id", "k", "term", "qtf", "idf", "ub", "first_doc", "n_docs", "docs_enc", "tfs_enc", "dls_enc"]
     local_topk = blocks.select(*cols, "task").groupBy("query_id", "task").applyInPandas(kernel, schema=RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25_score"), F.asc("doc_id"))
     ks = queries.select("query_id", "k")

@@ -71,16 +71,17 @@ def append_bucket(
     )
 
     bucket_docs = all_docs.where(F.col("bucket") == bucket)
-    runs = posting_runs(bucket_docs).withColumn("doc_group", F.shiftright(F.col("doc_id"), 14)).persist()
+    runs = posting_runs(bucket_docs, min_parallelism=nparts).withColumn(
+        "doc_group", F.shiftright(F.col("doc_id"), 14)
+    )
     sorted_runs = (
-        runs.repartitionByRange(nparts, "term", "doc_group").sortWithinPartitions("term", "doc_id").drop("doc_group")
+        runs.repartition(nparts, "term", "doc_group").sortWithinPartitions("term", "doc_id").drop("doc_group")
     )
     blocks = encode_blocks(sorted_runs, avgdl).withColumn("bucket", F.lit(bucket))
     if catalog.use_iceberg:
         catalog.append(blocks, "postings")
     else:
         blocks.write.mode("append").partitionBy("bucket").parquet(catalog.path("postings"))
-    runs.unpersist()
 
     stats = catalog.read("postings").groupBy("term").agg(F.sum("n_docs").cast("long").alias("df"))
     catalog.write(stats.repartitionByRange(max(1, nparts // 4), "term").sortWithinPartitions("term"), "stats")

@@ -12,13 +12,13 @@ Pipeline (SURVEY.md §3.3 target lifecycle):
     -> docs table (doc_id, url, dl, text, bucket)
     -> per BUCKET (checkpointed, resumable):
          mapInPandas SPIMI run generation -> (term, doc_id, tf, dl)
-         -> repartitionByRange(P, term, doc_group)  # THE big shuffle; ranging
-            on (term, doc_group = doc_id >> 14) splits Zipf head terms across
-            adjacent partitions at doc-group granularity — skew handling
-            without a separate salt column — while keeping every (term,
-            doc_group) run whole in one partition, so block boundaries are
-            DETERMINISTIC regardless of sampled range bounds (kill/resume
-            yields bit-identical block rows)
+         -> repartition(P, term, doc_group)  # THE big shuffle; hashing on
+            (term, doc_group = doc_id >> 14) splits Zipf head terms across
+            partitions at doc-group granularity — skew handling without a
+            separate salt column — while keeping every (term, doc_group) run
+            whole in one partition, so block boundaries are DETERMINISTIC
+            (kill/resume yields bit-identical block rows) with no
+            boundary-sampling pass
          -> sortWithinPartitions(term, doc_id)
          -> mapInPandas block encoder (delta-gap+varint, <=BLOCK_SIZE docs per
             block, blocks never cross fixed doc-range boundaries so query-time
@@ -47,7 +47,6 @@ from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE, K1, B
 from ..catalog import Catalog
-from ..codec import encode_doc_gaps, encode_tfs
 from ..textproc import bm25_tf_norm, extract_text_series, term_frequencies_batch, tokenize_series
 
 # Blocks never span a DOC_GROUP boundary: every posting of doc d lives in a
@@ -149,57 +148,76 @@ def assign_doc_ids(
 # --- SPIMI run generation ------------------------------------------------------
 
 
-def posting_runs(docs: DataFrame) -> DataFrame:
-    """docs -> (term, doc_id, tf, dl) runs via the shared SPIMI kernel."""
+def posting_runs(docs: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """docs -> (term, doc_id, tf, dl) runs via the shared SPIMI kernel.
+
+    min_parallelism guards against tiny-file bin-packing: a parquet scan of
+    small files collapses to 1-2 input splits (openCostInBytes packing), which
+    would serialize the Python kernel AND everything it feeds (persist,
+    range-boundary sampling, shuffle map side). The pandas kernel costs ~100x
+    more per byte than a JVM scan, so a cheap row shuffle to restore
+    parallelism always pays for itself when the scan under-splits.
+    """
+    src = docs.select("doc_id", "text")
+    if min_parallelism and src.rdd.getNumPartitions() < min_parallelism:
+        src = src.repartition(min_parallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield term_frequencies_batch(pdf["doc_id"], pdf["text"])
 
-    return docs.select("doc_id", "text").mapInPandas(gen, schema=RUNS_SCHEMA)
+    return src.mapInPandas(gen, schema=RUNS_SCHEMA)
 
 
 # --- Block encoder --------------------------------------------------------------
 
 
-def _encode_term_run(term: str, doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> list[tuple]:
-    """One term's sorted postings -> block rows (<=BLOCK_SIZE docs, never
-    crossing a doc-group boundary)."""
-    rows = []
-    groups = doc_ids >> DOC_GROUP_BITS
-    # split points: every BLOCK_SIZE docs AND every group change
-    change = np.flatnonzero(groups[1:] != groups[:-1]) + 1
-    bounds = [0]
-    prev = 0
-    ci = 0
-    n = doc_ids.size
-    while prev < n:
-        nxt = prev + BLOCK_SIZE
-        while ci < change.size and change[ci] <= prev:
-            ci += 1
-        if ci < change.size and change[ci] < nxt:
-            nxt = int(change[ci])
-        nxt = min(nxt, n)
-        bounds.append(nxt)
-        prev = nxt
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        d, t, l = doc_ids[s:e], tfs[s:e], dls[s:e]
-        mx = float(np.max(bm25_tf_norm(t, l, avgdl, K1, B)))
-        rows.append(
-            (
-                term,
-                int(d[0]),
-                int(d[-1]),
-                int(d.size),
-                mx,
-                int(t.max()),
-                int(l.min()),
-                encode_doc_gaps(d),
-                encode_tfs(t),
-                encode_tfs(l),
-            )
-        )
-    return rows
+def _encode_partition_frame(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+    """(term, doc_id)-sorted posting rows -> block rows, fully vectorized.
+
+    Block boundaries: a new block at every term change, every doc-group
+    change, and every BLOCK_SIZE postings within a (term, doc_group) segment.
+    One varint pass encodes ALL blocks' gaps/tfs/dls, split by byte offsets —
+    per-block Python calls would dominate on web text, where half the
+    vocabulary are unique single-document tokens (measured 20-30x).
+    """
+    from ..codec import segmented_varint_encode
+
+    terms = pdf["term"].values
+    d = pdf["doc_id"].values.astype(np.int64)
+    tf = pdf["tf"].values.astype(np.int64)
+    dl = pdf["dl"].values.astype(np.int64)
+    n = d.size
+    groups = d >> DOC_GROUP_BITS
+    seg_change = np.concatenate(
+        ([True], (terms[1:] != terms[:-1]) | (groups[1:] != groups[:-1]))
+    )
+    seg_starts_pos = np.flatnonzero(seg_change)
+    seg_id = np.cumsum(seg_change) - 1
+    off_in_seg = np.arange(n, dtype=np.int64) - seg_starts_pos[seg_id]
+    block_start = seg_change | (off_in_seg % BLOCK_SIZE == 0)
+    bstarts = np.flatnonzero(block_start)
+    bends = np.append(bstarts[1:], n)
+
+    tf_norm = bm25_tf_norm(tf, dl, avgdl, K1, B)
+    gaps = d.copy()
+    gaps[1:] -= d[:-1]
+    gaps[bstarts] = d[bstarts]
+
+    return pd.DataFrame(
+        {
+            "term": terms[bstarts],
+            "first_doc": d[bstarts],
+            "last_doc": d[bends - 1],
+            "n_docs": (bends - bstarts).astype("int32"),
+            "max_tf_norm": np.maximum.reduceat(tf_norm, bstarts),
+            "max_tf": np.maximum.reduceat(tf, bstarts).astype("int32"),
+            "min_dl": np.minimum.reduceat(dl, bstarts).astype("int32"),
+            "docs_enc": segmented_varint_encode(gaps.astype(np.uint64), bstarts, bends),
+            "tfs_enc": segmented_varint_encode(tf.astype(np.uint64), bstarts, bends),
+            "dls_enc": segmented_varint_encode(dl.astype(np.uint64), bstarts, bends),
+        }
+    )
 
 
 def encode_blocks(runs_sorted: DataFrame, avgdl: float) -> DataFrame:
@@ -213,10 +231,6 @@ def encode_blocks(runs_sorted: DataFrame, avgdl: float) -> DataFrame:
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tail: pd.DataFrame | None = None
-        cols = [
-            "term", "first_doc", "last_doc", "n_docs", "max_tf_norm",
-            "max_tf", "min_dl", "docs_enc", "tfs_enc", "dls_enc",
-        ]
 
         def flush(pdf: pd.DataFrame, keep_tail: bool):
             nonlocal tail
@@ -231,28 +245,19 @@ def encode_blocks(runs_sorted: DataFrame, avgdl: float) -> DataFrame:
                     return None
                 tail = pdf.iloc[cut:]
                 pdf = pdf.iloc[:cut]
-                terms = terms[:cut]
             else:
                 tail = None
-            out = []
-            starts = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
-            ends = np.append(starts[1:], terms.size)
-            d_all = pdf["doc_id"].values.astype(np.int64)
-            t_all = pdf["tf"].values.astype(np.int64)
-            l_all = pdf["dl"].values.astype(np.int64)
-            for s, e in zip(starts, ends):
-                out.extend(_encode_term_run(terms[s], d_all[s:e], t_all[s:e], l_all[s:e], avgdl))
-            return pd.DataFrame(out, columns=cols) if out else None
+            return _encode_partition_frame(pdf, avgdl)
 
         for pdf in batches:
             if tail is not None:
                 pdf = pd.concat([tail, pdf], ignore_index=True)
             res = flush(pdf, keep_tail=True)
-            if res is not None:
+            if res is not None and not res.empty:
                 yield res
         if tail is not None:
             res = flush(tail.reset_index(drop=True), keep_tail=False)
-            if res is not None:
+            if res is not None and not res.empty:
                 yield res
 
     return runs_sorted.mapInPandas(enc, schema=POSTINGS_SCHEMA)
@@ -279,6 +284,15 @@ def build_index(
     discarded and rebuilt. Kill at any point -> identical final index.
     """
     t_start = time.time()
+    trace = os.environ.get("IR_TRACE") == "1"
+    t_last = [t_start]
+
+    def _tr(step: str) -> None:
+        if trace:
+            now = time.time()
+            print(f"IR_TRACE {step}: {now - t_last[0]:.1f}s", flush=True)
+            t_last[0] = now
+
     nparts = num_term_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if lang is not None:
         pages = pages.where(F.col("lang") == lang)
@@ -294,23 +308,36 @@ def build_index(
             catalog.drop(t)
 
     # Step 0: docs (itself checkpoint #-1: reused verbatim on resume so doc
-    # ids are stable across kill/restart)
+    # ids are stable across kill/restart). The extracted frame stays cached
+    # for the whole build: extraction runs ONCE, and every bucket pipeline
+    # reads the cache instead of re-scanning the docs parquet.
+    docs_cached = None
     if not (resume and catalog.exists("docs")):
         docs, persisted = assign_doc_ids(pages, n_buckets=n_buckets)
+        docs_cached = docs.persist()
         # directory-partition by bucket (each of the nparts tasks writes one
         # file per bucket): bucket-filtered reads prune directories AND keep
         # full file-level parallelism — never repartition(n, "bucket"), which
         # collapses to n_buckets live partitions
-        catalog.write(docs, "docs", partition_by=["bucket"])
+        catalog.write(docs_cached, "docs", partition_by=["bucket"])
         persisted.unpersist()
-    docs = catalog.read("docs")
+        _tr("docs_assign_write")
+        docs = docs_cached
+    else:
+        docs = catalog.read("docs")
 
-    g = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(g["n"]), float(g["avgdl"])
+    # one job yields global AND per-bucket stats (avoids a per-bucket agg job
+    # later — every extra action costs a full job round-trip)
+    brows = docs.groupBy("bucket").agg(F.count("*").alias("nd"), F.sum("dl").alias("toks")).collect()
+    per_bucket = {int(r["bucket"]): (int(r["nd"]), int(r["toks"] or 0)) for r in brows}
+    n_docs = sum(nd for nd, _ in per_bucket.values())
+    total_toks = sum(tk for _, tk in per_bucket.values())
+    avgdl = (total_toks / n_docs) if n_docs else 0.0
     catalog.write(
         spark.createDataFrame([(n_docs, avgdl, K1, B)], "n_docs long, avgdl double, k1 double, b double"),
         "stats_global",
     )
+    _tr("global_stats")
 
     metrics = {"n_docs": n_docs, "avgdl": avgdl, "buckets": {}}
     for b in range(n_buckets):
@@ -322,14 +349,17 @@ def build_index(
             # discard any partial files from a killed run of this bucket
             shutil.rmtree(os.path.join(catalog.path("postings"), f"bucket={b}"), ignore_errors=True)
         bucket_docs = docs.where(F.col("bucket") == b)
-        runs = posting_runs(bucket_docs).withColumn(
+        runs = posting_runs(bucket_docs, min_parallelism=nparts).withColumn(
             "doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS)
         )
-        # persist the SPIMI runs: repartitionByRange's boundary-sampling pass
-        # would otherwise re-execute the whole extract+tokenize kernel
-        runs = runs.persist()
+        # HASH repartition on (term, doc_group): same co-location and head-term
+        # splitting as a range shuffle, but fully deterministic with NO
+        # boundary-sampling pass (a range shuffle would re-execute — or force
+        # caching of — the whole SPIMI kernel just to sample boundaries).
+        # Term-lookup pruning is preserved: each output file is sorted by
+        # (term, doc_id), so parquet row-group min/max stats stay selective.
         sorted_runs = (
-            runs.repartitionByRange(nparts, "term", "doc_group")
+            runs.repartition(nparts, "term", "doc_group")
             .sortWithinPartitions("term", "doc_id")
             .drop("doc_group")
         )
@@ -338,20 +368,25 @@ def build_index(
             catalog.append(blocks, "postings")
         else:
             blocks.write.mode("append").partitionBy("bucket").parquet(catalog.path("postings"))
-        runs.unpersist()
-        bstats = bucket_docs.agg(F.count("*").alias("nd"), F.sum("dl").alias("np")).collect()[0]
+        _tr(f"bucket{b}_postings")
+        nd, toks = per_bucket.get(b, (0, 0))
         wall_ms = int((time.time() - t0) * 1000)
         lineage = json.dumps(
             {"job": "build_index", "bucket": b, "n_term_partitions": nparts, "avgdl": avgdl, "k1": K1, "b": B}
         )
-        ck = spark.createDataFrame(
-            [(b, "done", int(bstats["nd"]), int(bstats["np"] or 0), wall_ms, lineage)], CHECKPOINT_SCHEMA
-        )
+        ck = spark.createDataFrame([(b, "done", nd, toks, wall_ms, lineage)], CHECKPOINT_SCHEMA)
         catalog.append(ck, "checkpoints")
-        metrics["buckets"][b] = {"docs": int(bstats["nd"]), "wall_ms": wall_ms}
+        _tr(f"bucket{b}_checkpoint")
+        metrics["buckets"][b] = {"docs": nd, "wall_ms": wall_ms}
 
-    # term stats derived from postings -> consistent under resume
+    if docs_cached is not None:
+        docs_cached.unpersist()
+
+    # term stats derived from postings -> consistent under resume. coalesce
+    # (narrow, no shuffle/sampling) + within-partition sort keeps per-file
+    # term order for row-group pruning without a second range shuffle.
     stats = catalog.read("postings").groupBy("term").agg(F.sum("n_docs").cast("long").alias("df"))
-    catalog.write(stats.repartitionByRange(max(1, nparts // 4), "term").sortWithinPartitions("term"), "stats")
+    catalog.write(stats.coalesce(max(1, nparts // 4)).sortWithinPartitions("term"), "stats")
+    _tr("term_stats")
     metrics["wall_s"] = time.time() - t_start
     return metrics

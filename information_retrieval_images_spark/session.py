@@ -12,6 +12,11 @@ import os
 from pyspark.sql import SparkSession
 
 SPARK_CONF = {
+    # local-mode driver == the executor: size its heap for the box (the
+    # default 1g thrashes GC once the corpus persist exceeds ~500 MB). On a
+    # real cluster these come from spark-submit/cluster conf instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "4g",
     # Arrow batch transfer for every pandas UDF (the only Python in the plan).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
