@@ -35,8 +35,37 @@ def _row_rng(seed: int, i: int) -> np.random.Generator:
     return np.random.Generator(np.random.Philox(key=np.uint64(seed), counter=[0, 0, 0, np.uint64(i)]))
 
 
-def make_pages_batch(indices: np.ndarray, seed: int = 42) -> pd.DataFrame:
-    """Generate pages rows for arbitrary doc indices (vectorized per row)."""
+def _boilerplate(i: int, target_bytes: int) -> str:
+    """Deterministic markup mass with no visible text (stripped wholesale by
+    extraction): attribute-heavy empty elements, script/style blobs, comments.
+    Approximates real Common-Crawl page weight so extraction compute is
+    realistic; extracted text is unchanged."""
+    parts = []
+    size = 0
+    k = 0
+    while size < target_bytes:
+        kind = k % 4
+        if kind == 0:
+            s = f'<div class="col-{k} nav-item wrapper" data-idx="{k}" data-track="evt-{i}-{k}" style="display:none"></div>'
+        elif kind == 1:
+            s = f'<script type="text/javascript">window.__q{k}=[{",".join(str((k * 7 + j) % 97) for j in range(40))}];</script>'
+        elif kind == 2:
+            s = f"<!-- module {k} build {i} " + "x" * 120 + " -->"
+        else:
+            s = f"<style>.m{k}{{padding:{k % 32}px;margin:{k % 16}px;color:#a{k % 10}b{k % 10}c{k % 10}}}</style>"
+        parts.append(s)
+        size += len(s)
+        k += 1
+    return "".join(parts)
+
+
+def make_pages_batch(indices: np.ndarray, seed: int = 42, page_kb: int = 0) -> pd.DataFrame:
+    """Generate pages rows for arbitrary doc indices (vectorized per row).
+
+    page_kb > 0 pads each page with ~page_kb KiB of text-free boilerplate
+    markup (real web pages are 50-100 KB); extracted text is identical to the
+    light variant, so goldens and rank-identity are unaffected.
+    """
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in indices:
         i = int(i)
@@ -46,10 +75,11 @@ def make_pages_batch(indices: np.ndarray, seed: int = 42) -> pd.DataFrame:
         toks = _VOCAB[np.searchsorted(_CDF, u)]
         text = " ".join(toks.tolist())
         lang = "en" if rng.random() < 0.95 else "de"
+        boiler = _boilerplate(i, page_kb * 1024) if page_kb else ""
         html = (
             f"<html><head><title>T{i}</title>"
             f"<style>body{{margin:0}}</style>"
-            f"<script>var x={i};</script></head>"
+            f"<script>var x={i};</script>{boiler}</head>"
             f"<body><!-- doc {i} --><h1>T{i}</h1><p>{text}</p></body></html>"
         ).encode("utf-8")
         urls.append(f"https://site{i % 50}.example/p/{i:08d}")
@@ -101,14 +131,14 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42, rows_per_file: i
         part += 1
 
 
-def generate_pages_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+def generate_pages_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None, page_kb: int = 0):
     """Distributed generator: spark.range -> mapInPandas (scales to any SF;
     each partition generates its own rows from (seed, id) independently)."""
     from .sources.pages import PAGES_SCHEMA
 
     def gen(batches):
         for pdf in batches:
-            yield make_pages_batch(pdf["id"].values, seed=seed)
+            yield make_pages_batch(pdf["id"].values, seed=seed, page_kb=page_kb)
 
     rng = spark.range(0, n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -55,9 +55,8 @@ def append_bucket(
     base = docs_tbl.agg(F.max("doc_id")).collect()[0][0]
     start_id = int(base) + 1 if base is not None else 0
 
-    new_docs, persisted = assign_doc_ids(novel, n_buckets=1, start_id=start_id, fixed_bucket=bucket)
+    new_docs = assign_doc_ids(novel, n_buckets=1, start_id=start_id, fixed_bucket=bucket)
     catalog.write(new_docs, "docs", mode="append", partition_by=["bucket"])
-    persisted.unpersist()
 
     all_docs = catalog.read("docs")
     g = all_docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]

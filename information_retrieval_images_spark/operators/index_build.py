@@ -5,9 +5,10 @@ term-range-partitioned, doc-sorted, delta-gap+varint block-max posting table).
 Pipeline (SURVEY.md §3.3 target lifecycle):
 
   pages (Iceberg/parquet scan, lang pushdown)
-    -> dense doc_id assignment (two-pass: range partition by url, per-partition
-       counts -> driver prefix sums -> offset+local-rownum; deterministic,
-       no global sort bottleneck, no monotonically_increasing_id gaps)
+    -> dense doc_id assignment (coordination-free two-pass: url-only scan
+       counts per fixed logical group md5(url) % P_LOGICAL -> driver prefix
+       sums; hash repartition by group + sorted assign. Deterministic on any
+       cluster width, no sampling, no corpus persist, no global sort)
     -> mapInPandas extract (shared kernel, byte-identical per url)
     -> docs table (doc_id, url, dl, text, bucket)
     -> per BUCKET (checkpointed, resumable):
@@ -41,13 +42,18 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE, K1, B
 from ..catalog import Catalog
-from ..textproc import bm25_tf_norm, extract_text_series, term_frequencies_batch, tokenize_series
+from ..textproc import (
+    P_LOGICAL,
+    bm25_tf_norm,
+    extract_text_series,
+    term_frequencies_batch,
+    tokenize_series,
+)
 
 # Blocks never span a DOC_GROUP boundary: every posting of doc d lives in a
 # block with first_doc >> DOC_GROUP_BITS == d >> DOC_GROUP_BITS, which makes
@@ -73,60 +79,78 @@ CHECKPOINT_SCHEMA = "bucket int, status string, n_docs long, n_postings long, wa
 # --- Step 0: dense doc_id assignment + extraction -----------------------------
 
 
+def _group_expr():
+    """url_group column — must match textproc.url_group exactly."""
+    return F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long") % P_LOGICAL
+
+
 def assign_doc_ids(
     pages: DataFrame,
     n_buckets: int,
     num_partitions: int | None = None,
     start_id: int = 0,
     fixed_bucket: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Deterministic dense doc ids (0..N-1 in url order) + extracted text.
+) -> DataFrame:
+    """Deterministic dense doc ids + extracted text, with NO corpus persist
+    and NO sampled shuffle.
 
-    Two-pass pattern that scales: count rows per url-range partition (tiny
-    driver-side prefix sum) then assign offset + local row number inside an
-    Arrow-batched mapInPandas. The oracle uses the same contract (sorted-url
-    rank), so doc ids are comparable engine-vs-oracle.
+    Contract (oracle mirrors it in pure Python, textproc.url_sort_key): ids
+    are dense in (url_group, url) order where url_group = md5_60bit(url) %
+    P_LOGICAL — a fixed constant, so ids do not depend on cluster width.
 
-    The range-partitioned sorted frame is PERSISTED before the counts job:
-    both passes must see bit-identical partitions (range-bound sampling and
-    AQE re-planning are not guaranteed stable across independent jobs —
-    without the persist, offsets can disagree with the assign pass and
-    produce duplicate ids). Returns (docs_df, persisted_handle); the caller
-    unpersists the handle after materializing docs_df.
+    Two passes, both deterministic:
+    1. counts per url_group — a column-pruned scan of ``url`` only (the
+       corpus html is NOT read, NOT shuffled, NOT persisted) -> driver prefix
+       sums over P_LOGICAL rows;
+    2. hash-repartition the corpus by url_group (equal keys co-locate; no
+       boundary sampling), sort (url_group, url) within partitions, then an
+       Arrow-batched mapInPandas assigns offset[group] + position, buffering
+       the trailing partial group across batches.
     """
-    from pyspark import StorageLevel
-
     spark = pages.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
-    parts = (
-        pages.repartitionByRange(nparts, "url")
-        .sortWithinPartitions("url")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    counts = (
-        parts.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    by_pid = {r["pid"]: r["count"] for r in counts}
+    counts = pages.select(_group_expr().alias("g")).groupBy("g").count().collect()
+    by_g = {int(r["g"]): int(r["count"]) for r in counts}
     offsets = {}
     acc = 0
-    for pid in range(nparts):
-        offsets[pid] = acc
-        acc += by_pid.get(pid, 0)
+    for g in range(P_LOGICAL):
+        offsets[g] = acc
+        acc += by_g.get(g, 0)
     boff = spark.sparkContext.broadcast(offsets)
 
+    parts = (
+        pages.withColumn("g", _group_expr())
+        .repartition(nparts, "g")
+        .sortWithinPartitions("g", "url")
+    )
+
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        next_id = start_id + boff.value[pid]
-        for pdf in batches:
-            n = len(pdf)
+        tail: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame, keep_tail: bool):
+            nonlocal tail
+            if pdf.empty:
+                return None
+            gs = pdf["g"].values
+            if keep_tail:
+                cut = int(np.searchsorted(gs, gs[-1], side="left"))
+                if cut == 0:
+                    tail = pdf
+                    return None
+                tail = pdf.iloc[cut:]
+                pdf = pdf.iloc[:cut]
+                gs = gs[:cut]
+            else:
+                tail = None
             text = extract_text_series(pdf["html"])
             toks = text.str.lower().str.split()
-            doc_ids = np.arange(next_id, next_id + n, dtype=np.int64)
-            next_id += n
-            yield pd.DataFrame(
+            # position within each group run + broadcast group offset
+            starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+            run_id = np.cumsum(np.concatenate(([True], gs[1:] != gs[:-1]))) - 1
+            pos = np.arange(gs.size, dtype=np.int64) - starts[run_id]
+            base = np.array([start_id + boff.value[int(g)] for g in gs[starts]], dtype=np.int64)
+            doc_ids = base[run_id] + pos
+            return pd.DataFrame(
                 {
                     "doc_id": doc_ids,
                     "url": pdf["url"].values,
@@ -135,14 +159,25 @@ def assign_doc_ids(
                     # round-robin: gaps inside a bucket's blocks are ~n_buckets,
                     # still one varint byte for any sane bucket count
                     "bucket": (
-                        np.full(n, fixed_bucket, dtype=np.int32)
+                        np.full(gs.size, fixed_bucket, dtype=np.int32)
                         if fixed_bucket is not None
                         else (doc_ids % n_buckets).astype("int32")
                     ),
                 }
             )
 
-    return parts.mapInPandas(assign, schema=DOCS_SCHEMA), parts
+        for pdf in batches:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            out = emit(pdf, keep_tail=True)
+            if out is not None:
+                yield out
+        if tail is not None:
+            out = emit(tail.reset_index(drop=True), keep_tail=False)
+            if out is not None:
+                yield out
+
+    return parts.mapInPandas(assign, schema=DOCS_SCHEMA)
 
 
 # --- SPIMI run generation ------------------------------------------------------
@@ -313,14 +348,13 @@ def build_index(
     # reads the cache instead of re-scanning the docs parquet.
     docs_cached = None
     if not (resume and catalog.exists("docs")):
-        docs, persisted = assign_doc_ids(pages, n_buckets=n_buckets)
+        docs = assign_doc_ids(pages, n_buckets=n_buckets, num_partitions=nparts)
         docs_cached = docs.persist()
         # directory-partition by bucket (each of the nparts tasks writes one
         # file per bucket): bucket-filtered reads prune directories AND keep
         # full file-level parallelism — never repartition(n, "bucket"), which
         # collapses to n_buckets live partitions
         catalog.write(docs_cached, "docs", partition_by=["bucket"])
-        persisted.unpersist()
         _tr("docs_assign_write")
         docs = docs_cached
     else:

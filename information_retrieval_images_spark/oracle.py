@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
-from .textproc import bm25_idf, bm25_tf_norm, extract_text, tokenize
+from .textproc import bm25_idf, bm25_tf_norm, extract_text, tokenize, url_sort_key
 
 
 @dataclass
@@ -32,11 +32,14 @@ def build_oracle_index(pages: pd.DataFrame, lang: str | None = "en") -> OracleIn
     """pages(url, warc_ts, html, text, lang) -> in-memory inverted index.
 
     doc_id assignment contract (engine matches exactly): dense 0..N-1 in
-    ascending url order over the indexed (lang-filtered) subset.
+    ascending (url_group, url) order over the indexed subset, where
+    url_group = md5_60bit(url) % P_LOGICAL (textproc.url_sort_key) — the
+    engine's coordination-free id assignment replayed in pure Python.
     """
     if lang is not None:
         pages = pages[pages["lang"] == lang]
-    pages = pages.sort_values("url").reset_index(drop=True)
+    keys = pages["url"].map(url_sort_key)
+    pages = pages.loc[keys.sort_values().index].reset_index(drop=True)
     idx = OracleIndex()
     postings: dict[str, dict[int, int]] = defaultdict(dict)
     total_len = 0

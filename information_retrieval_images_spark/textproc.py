@@ -133,6 +133,30 @@ def term_frequencies_batch(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame
     )
 
 
+# --- doc-id contract ----------------------------------------------------------
+# Dense doc ids are assigned per LOGICAL url group: group = md5_60bit(url) mod
+# P_LOGICAL (a fixed constant, NOT the cluster width), ids dense in (group,
+# url) order. Fully deterministic and portable: the oracle replays it in pure
+# Python, and the same corpus gets the same ids on any cluster size. Engine
+# side, groups shuffle by hash — no range-boundary sampling, no corpus
+# persist, and the counts pass reads only the url column.
+
+P_LOGICAL = 1024
+
+
+def url_group(url: str) -> int:
+    """Logical url group — MUST match Spark's
+    conv(substring(md5(url),1,15),16,10) % P_LOGICAL."""
+    import hashlib
+
+    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:15], 16) % P_LOGICAL
+
+
+def url_sort_key(url: str) -> tuple[int, str]:
+    """Total order that defines dense doc ids: (group, url)."""
+    return (url_group(url), url)
+
+
 # --- BM25 math ---------------------------------------------------------------
 # One formula, float64, used by oracle, naive engine and WAND engine.
 # idf per Robertson/Sparck-Jones as used by Lucene: ln(1 + (N - df + 0.5)/(df + 0.5)).

