@@ -19,7 +19,10 @@ SPARK_CONF = {
     "spark.driver.maxResultSize": "4g",
     # Arrow batch transfer for every pandas UDF (the only Python in the plan).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # bound per-worker memory: real web pages are 50-100 KB, and the pandas
+    # extraction chain holds ~6 intermediate copies of a batch — 10k-row
+    # batches mean multi-GB resident per worker and GC/THP thrash
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
     # AQE: runtime coalescing + skew-join splitting; the north rule demands
     # explicit skew handling and AQE is the runtime half of it (build-time
     # half is range partitioning on (term, doc_id) — see operators.index_build).
