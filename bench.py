@@ -60,7 +60,7 @@ def main() -> None:
     # --- fulltext engine: query latency ---------------------------------------
     qdf = spark.createDataFrame(fixtures.make_queries_pandas())
     t0 = time.time()
-    n_wand = bm25_topk_wand(spark, cat, qdf, tasks_per_query=4).count()
+    n_wand = bm25_topk_wand(spark, cat, qdf).count()
     queries["bm25_wand_50q"] = round(time.time() - t0, 3)
     t0 = time.time()
     n_naive = bm25_topk_naive(spark, cat, qdf).count()

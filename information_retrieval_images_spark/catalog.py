@@ -65,10 +65,19 @@ class Catalog:
         return self.spark.read.parquet(self.path(name))
 
     def exists(self, name: str) -> bool:
+        """True when the table has any parquet data file. Recursive: tables
+        written with partitionBy (docs/postings/stats use bucket=N subdirs)
+        keep their files below partition directories — a top-level-only check
+        would report them missing and silently disable the resume paths."""
         if self.use_iceberg:
             return self.spark.catalog.tableExists(name)
         p = self.path(name)
-        return os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+        if not os.path.isdir(p):
+            return False
+        for _, _, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def drop(self, name: str) -> None:
         """K8 analogue (reference drop_database, db.py:317-321)."""

@@ -47,6 +47,17 @@ def _md5_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _rank_topk(df: DataFrame, k: int, *order) -> DataFrame:
+    """Global top-k with a rank column, WITHOUT a single-partition window
+    over the full input: orderBy().limit(k) plans TakeOrderedAndProject
+    (per-partition top-k + driver merge), and only the <= k survivors get the
+    row_number — over a constant partition key so WindowExec never sees an
+    undefined-partition global sort (VERDICT r1 finding #2)."""
+    topk = df.orderBy(*order).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 # --- fulltext family ----------------------------------------------------------
 
 
@@ -75,11 +86,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("partial"), 6).alias("bm25_score"))
     )
-    w = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("rank", "doc_id", "bm25_score")
+    return _rank_topk(scored, 10, F.desc("bm25_score"), F.asc("doc_id")).select(
+        "rank", "doc_id", "bm25_score"
     )
 
 
@@ -263,13 +271,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot(F.col("embedding"), F.col("qe"))
         / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(_dot(F.col("qe"), F.col("qe"))))
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        joined.select("vec_id", F.round(cos, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("rank", "vec_id", "cosine")
-    )
+    scored = joined.select("vec_id", F.round(cos, 6).alias("cosine"))
+    return _rank_topk(scored, 20, F.desc("cosine"), F.asc("vec_id")).select("rank", "vec_id", "cosine")
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,8 +347,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed candidate pairs over embeddings (the near-dup scale path;
-    hyperplanes are seeded literals — no SQL oracle, rows-only check)."""
+    """LSH-bucketed candidate pairs over embeddings (the near-dup scale
+    path). The hyperplanes are seeded numpy literals (rng 42), so the DuckDB
+    oracle replays the identical projections — full value match."""
     from .operators.ann import lsh_bucketed_pairs
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
@@ -355,14 +359,75 @@ def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (coarse-quantized) ANN top-10 vs vec_id=0 — the reference's
-    nlist/nprobe search (vector_db.py:94) Spark-side. Approximate; rows-only."""
+    nlist/nprobe search (vector_db.py:94) Spark-side. The gate probes ALL
+    cells (nprobe = n_cells), where IVF is provably exact == brute force, so
+    the DuckDB oracle is the exhaustive cosine top-k; approximation quality
+    at nprobe < n_cells is gated in pytest (tests/test_ann.py recall bound)."""
     from .operators.ann import ivf_topk, train_ivf_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(emb, n_cells=8, iters=2, sample=512)
     q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    got = ivf_topk(emb.where(F.col("vec_id") != 0), cents, list(q), k=10, nprobe=4)
+    got = ivf_topk(emb.where(F.col("vec_id") != 0), cents, list(q), k=10, nprobe=8)
     return got.select("id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash LSH pairing (VERDICT r1 missing #4): 32-bit signatures banded
+    into 4x8-bit keys; candidates sharing a band key get their exact hamming
+    distance (bit_count of xor). Mirrors operators.dedup.simhash_pairs."""
+    sh = q_simhash(spark, sf_dir)
+    band_arr = F.array(*[(F.shiftrightunsigned("simhash", 8 * b) % 256).cast("long") for b in range(4)])
+    bands = sh.select("doc_id", "simhash", F.posexplode(band_arr).alias("band", "key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J3, reference IN-list presence check db.py:341-356):
+    parts with at least one heavy lineitem, counted per brand."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 30)
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+    )
+
+
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source (S5, reference json.load evaluate_gemini_cap.py:49-50):
+    round-trip nation through JSON files and read with an explicit schema."""
+    import tempfile
+
+    from .sources import read_json_source
+
+    path = f"{tempfile.gettempdir()}/ir_gate_nation_json"
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nat.write.mode("overwrite").json(path)
+    return read_json_source(spark, path, "n_nationkey int, n_name string, n_regionkey int")
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sample (S7 done scale-portably — same rows on any
+    cluster/partitioning, replayable in SQL): ~1/10 of documents."""
+    from .sources import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 10).select("doc_id", "lang", "n_chars")
 
 
 def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
@@ -386,8 +451,7 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("partial").alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_topk(scored, k, F.desc("score"), F.asc("doc_id"))
 
 
 def q_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,14 +461,8 @@ def q_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
     toks = _tokens(docs)
     qterms = spark.createDataFrame([(t,) for t in BM25_QUERY.split()], "term string").distinct()
-    tf_rank = (
-        toks.join(F.broadcast(qterms), "term")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("tfsum"))
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("tfsum"), F.asc("doc_id"))))
-        .where(F.col("rank") <= 10)
-        .select("doc_id")
-    )
+    tf_sum = toks.join(F.broadcast(qterms), "term").groupBy("doc_id").agg(F.count("*").alias("tfsum"))
+    tf_rank = tf_sum.orderBy(F.desc("tfsum"), F.asc("doc_id")).limit(10).select("doc_id")
     common = bm25.join(tf_rank, "doc_id").count()
     return spark.createDataFrame([(round(common / 10.0, 6),)], "overlap double")
 
@@ -467,6 +525,10 @@ QUERIES = {
     "ann_lsh_pairs": q_ann_lsh_pairs,
     "ivf_topk": q_ivf_topk,
     "customer_no_orders": q_customer_no_orders,
+    "simhash_pairs": q_simhash_pairs,
+    "semi_join": q_semi_join,
+    "json_source": q_json_source,
+    "sample": q_sample,
 }
 
 # --- DuckDB oracles -------------------------------------------------------------
@@ -705,4 +767,83 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01')
 GROUP BY n_name
 """,
+    "simhash_pairs": """
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents,
+    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term) t
+  WHERE doc_id < 100 AND t.term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf,
+              CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+       FROM toks GROUP BY doc_id, term),
+contrib AS (
+  SELECT doc_id, bit, sum(CASE WHEN (hv >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN (SELECT unnest(range(0, 32)) AS bit)
+  GROUP BY doc_id, bit),
+sh AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM contrib GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS key
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4))::INT AS band))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""",
+    "semi_join": """
+SELECT p_brand, count(*) AS n_parts FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 30)
+GROUP BY p_brand
+""",
+    "json_source": """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+    "sample": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5('s7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+""",
 }
+
+
+def _lsh_pairs_oracle_sql(n_planes: int = 6, dim: int = 64, threshold: float = 0.15) -> str:
+    """DuckDB replay of operators.ann.lsh_bucket's seeded hyperplanes: the
+    planes are rng(42) literals on both sides, so bucket ids (sign bits of
+    the projections) and hence candidate pairs match exactly. The cosine is
+    the unnest-sum formulation proven hash-identical in the other gates."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_planes, dim))
+    dots = [
+        "list_dot_product(CAST(embedding AS DOUBLE[]), [" + ", ".join(repr(float(x)) for x in planes[j]) + "])"
+        for j in range(n_planes)
+    ]
+    bucket = " + ".join(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)" for j, d in enumerate(dots))
+    return f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding, ({bucket}) AS bucket
+  FROM embeddings WHERE vec_id < 300),
+pairs AS (
+  SELECT a.id AS id_a, b2.id AS id_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b2.embedding)::DOUBLE AS y
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id),
+cos AS (
+  SELECT id_a, id_b, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c
+  FROM pairs GROUP BY id_a, id_b)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM cos WHERE c >= {threshold}
+"""
+
+
+ORACLE_SQL["ann_lsh_pairs"] = _lsh_pairs_oracle_sql()
+
+# nprobe = n_cells makes IVF exact (see q_ivf_topk docstring): the oracle is
+# exhaustive cosine top-10, same tiebreak as brute_force_topk.
+ORACLE_SQL["ivf_topk"] = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+cos AS (
+  SELECT vec_id, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS c
+  FROM pairs GROUP BY vec_id)
+SELECT vec_id AS id, round(c, 6) AS cosine FROM cos ORDER BY c DESC, vec_id ASC LIMIT 10
+"""

@@ -67,30 +67,47 @@ def _query_terms(queries: DataFrame) -> DataFrame:
     return queries.mapInPandas(tok, schema="query_id int, term string, qtf int, k int")
 
 
-def _matched_blocks(catalog: Catalog, qterms: DataFrame) -> DataFrame:
+MAX_QUERY_TERMS = 100_000
+
+
+def _matched_blocks(catalog: Catalog, qterms: DataFrame):
     """Postings blocks for the query terms, with idf attached.
 
     The collected term IN-list (queries are small by construction) becomes a
     pushed parquet predicate -> row-group skipping on the term-sorted files;
-    the joins are broadcast (query side is tiny).
+    the joins are broadcast (query side is tiny). Deliberately driver-side —
+    guarded by MAX_QUERY_TERMS so a million-query DataFrame fails loudly
+    instead of OOMing the driver (route such batches through several calls).
+
+    ``stats`` is additive per bucket (index_build.write_bucket_stats), so df
+    is aggregated over the (pruned) rows here — a few rows per term.
     """
     terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    if len(terms) > MAX_QUERY_TERMS:
+        raise ValueError(
+            f"query batch has {len(terms)} distinct terms > {MAX_QUERY_TERMS}; "
+            "split the batch — the term IN-list is pushed to the scan via the driver"
+        )
     g = catalog.read("stats_global").collect()[0]
     n_docs = int(g["n_docs"])
     postings = catalog.read("postings").where(F.col("term").isin(terms))
-    stats = catalog.read("stats").where(F.col("term").isin(terms)).withColumn(
-        "idf", F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    stats = (
+        catalog.read("stats")
+        .where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("idf", F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
     )
     return (
         postings.join(F.broadcast(qterms), "term")
         .join(F.broadcast(stats.select("term", "idf")), "term")
-    ), n_docs, float(g["avgdl"])
+    ), n_docs, float(g["avgdl"]), stats
 
 
 def bm25_topk_naive(spark: SparkSession, catalog: Catalog, queries: DataFrame) -> DataFrame:
     """Decode-everything baseline: exact, fully Catalyst-planned after decode."""
     qterms = _query_terms(queries)
-    blocks, _, avgdl = _matched_blocks(catalog, qterms)
+    blocks, _, avgdl, _ = _matched_blocks(catalog, qterms)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one varint pass over ALL blocks in the batch (payloads are
@@ -129,21 +146,51 @@ def bm25_topk_naive(spark: SparkSession, catalog: Catalog, queries: DataFrame) -
     )
 
 
+POSTINGS_PER_TASK = 1 << 18  # ~4 doc-groups of postings per WAND task
+MAX_TASKS_PER_QUERY = 64
+
+
 def bm25_topk_wand(
     spark: SparkSession,
     catalog: Catalog,
     queries: DataFrame,
-    tasks_per_query: int = 4,
+    tasks_per_query: int | None = None,
 ) -> DataFrame:
     """Block-max scoring with doc-group skipping + threshold pruning.
 
     Stage 1: blocks are routed to (query_id, task) where task = doc_group %
-    tasks_per_query; one applyInPandas kernel per task runs the pruned scorer
-    and emits a local top-k. Stage 2: global top-k per query (window rank over
-    <= tasks_per_query * k candidate rows — negligible).
+    tasks_q; one applyInPandas kernel per task runs the pruned scorer and
+    emits a local top-k. Stage 2: global top-k per query (window rank over
+    <= tasks_q * k candidate rows — negligible).
+
+    tasks_q defaults to the query's matched-posting volume (sum of its terms'
+    df, already known from the stats lookup) divided by POSTINGS_PER_TASK,
+    clamped to [1, MAX_TASKS_PER_QUERY]: a head-term query fans out across
+    executors instead of materializing all its postings in one task's pandas
+    memory, while a tail-term query stays on one task (per-task overhead is
+    not free). Pass an int to force a fixed fan-out.
     """
     qterms = _query_terms(queries)
-    blocks, _, avgdl = _matched_blocks(catalog, qterms)
+    blocks, _, avgdl, stats = _matched_blocks(catalog, qterms)
+    if tasks_per_query is None:
+        # volume per query = sum df of its terms — one tiny job over the
+        # pruned stats rows (NOT a postings scan)
+        vol = (
+            qterms.join(stats.select("term", "df"), "term")
+            .groupBy("query_id")
+            .agg(F.sum("df").alias("n_postings"))
+            .collect()
+        )
+        tasks_map = {
+            int(r["query_id"]): int(min(MAX_TASKS_PER_QUERY, max(1, -(-int(r["n_postings"]) // POSTINGS_PER_TASK))))
+            for r in vol
+        }
+        tdf = spark.createDataFrame(
+            [(q, t) for q, t in tasks_map.items()] or [(0, 1)], "query_id int, tasks_q int"
+        )
+        blocks = blocks.join(F.broadcast(tdf), "query_id", "left").fillna({"tasks_q": 1})
+    else:
+        blocks = blocks.withColumn("tasks_q", F.lit(int(tasks_per_query)))
     # Per-block upper bound from (max_tf, min_dl) under the CURRENT avgdl —
     # a true bound even when blocks were encoded under older collection
     # statistics (incremental appends); see index_build.POSTINGS_SCHEMA.
@@ -151,7 +198,7 @@ def bm25_topk_wand(
         F.col("max_tf") + K1 * (1.0 - B + B * F.col("min_dl") / F.lit(avgdl))
     )
     blocks = blocks.withColumn(
-        "task", (F.shiftright(F.col("first_doc"), DOC_GROUP_BITS) % tasks_per_query).cast("int")
+        "task", (F.shiftright(F.col("first_doc"), DOC_GROUP_BITS) % F.col("tasks_q")).cast("int")
     ).withColumn("ub", F.col("idf") * ub_tf_norm * F.col("qtf"))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -182,7 +229,10 @@ def bm25_topk_wand(
         qtfs = pdf["qtf"].values
         for vi in visit:
             s, e = starts[vi], ends[vi]
-            if g_ub.loc[group_ids[vi]] <= theta():
+            # strict inequality: a group whose bound EQUALS the threshold may
+            # still contain a doc with score == theta and a smaller doc_id,
+            # which wins the deterministic (score desc, doc_id asc) tie-break
+            if g_ub.loc[group_ids[vi]] < theta():
                 continue  # skip decode of the whole doc-group
             base = int(group_ids[vi]) << DOC_GROUP_BITS
             # batch-decode every block of the group in one varint pass
@@ -198,11 +248,24 @@ def bm25_topk_wand(
             np.add.at(local, off, contrib)
             offs = np.unique(off)
             scores = local[offs]
-            for off, sc in zip(offs.tolist(), scores.tolist()):
+            ids = base + offs
+            # vectorized candidate selection: threshold-filter (conservative:
+            # uses the heap state BEFORE this group; the heapq pass below is
+            # exact), then lexsort-cap to k so the Python loop runs <= k times
+            # per visited group instead of once per surviving doc
+            if len(heap) >= k:
+                th, tie_nd = heap[0]
+                keep = (scores > th) | ((scores == th) & (-ids > tie_nd))
+                if not keep.all():
+                    scores, ids = scores[keep], ids[keep]
+            if scores.size > k:
+                sel = np.lexsort((ids, -scores))[:k]
+                scores, ids = scores[sel], ids[sel]
+            for sc, nd in zip(scores.tolist(), (-ids).tolist()):
                 if len(heap) < k:
-                    heapq.heappush(heap, (sc, -(base + off)))
-                elif (sc, -(base + off)) > heap[0]:
-                    heapq.heapreplace(heap, (sc, -(base + off)))
+                    heapq.heappush(heap, (sc, nd))
+                elif (sc, nd) > heap[0]:
+                    heapq.heapreplace(heap, (sc, nd))
         rows = sorted(((sc, -nd) for sc, nd in heap), key=lambda x: (-x[0], x[1]))
         return pd.DataFrame(
             {

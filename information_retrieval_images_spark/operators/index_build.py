@@ -104,8 +104,15 @@ def assign_doc_ids(
        sums over P_LOGICAL rows;
     2. hash-repartition the corpus by url_group (equal keys co-locate; no
        boundary sampling), sort (url_group, url) within partitions, then an
-       Arrow-batched mapInPandas assigns offset[group] + position, buffering
-       the trailing partial group across batches.
+       Arrow-batched mapInPandas assigns offset[group] + position.
+
+    Memory contract: rows of a group are contiguous within the sorted
+    partition, so a group spanning Arrow batches needs only a running
+    ``{group: rows_seen}`` counter carried across batches — NEVER a buffered
+    frame. (Buffering the trailing partial group would hold entire html
+    payloads of a straggling group in pandas memory: at 10^9 docs a url_group
+    is ~10^6 docs, gigabytes per worker.) The counter dict is bounded by the
+    number of groups per partition (<= P_LOGICAL).
     """
     spark = pages.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
@@ -125,32 +132,28 @@ def assign_doc_ids(
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tail: pd.DataFrame | None = None
-
-        def emit(pdf: pd.DataFrame, keep_tail: bool):
-            nonlocal tail
+        seen: dict[int, int] = {}  # group -> rows already assigned (this partition)
+        for pdf in batches:
             if pdf.empty:
-                return None
+                continue
             gs = pdf["g"].values
-            if keep_tail:
-                cut = int(np.searchsorted(gs, gs[-1], side="left"))
-                if cut == 0:
-                    tail = pdf
-                    return None
-                tail = pdf.iloc[cut:]
-                pdf = pdf.iloc[:cut]
-                gs = gs[:cut]
-            else:
-                tail = None
             text = extract_text_series(pdf["html"])
             toks = text.str.lower().str.split()
-            # position within each group run + broadcast group offset
-            starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
-            run_id = np.cumsum(np.concatenate(([True], gs[1:] != gs[:-1]))) - 1
+            # position within each group run + broadcast group offset +
+            # cross-batch running count for the group
+            change = np.concatenate(([True], gs[1:] != gs[:-1]))
+            starts = np.flatnonzero(change)
+            run_id = np.cumsum(change) - 1
             pos = np.arange(gs.size, dtype=np.int64) - starts[run_id]
-            base = np.array([start_id + boff.value[int(g)] for g in gs[starts]], dtype=np.int64)
+            run_lens = np.diff(np.append(starts, gs.size))
+            base = np.empty(starts.size, dtype=np.int64)
+            for i, (si, ln) in enumerate(zip(starts.tolist(), run_lens.tolist())):
+                g = int(gs[si])
+                prev = seen.get(g, 0)
+                base[i] = start_id + boff.value[g] + prev
+                seen[g] = prev + int(ln)
             doc_ids = base[run_id] + pos
-            return pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,
                     "url": pdf["url"].values,
@@ -165,17 +168,6 @@ def assign_doc_ids(
                     ),
                 }
             )
-
-        for pdf in batches:
-            if tail is not None:
-                pdf = pd.concat([tail, pdf], ignore_index=True)
-            out = emit(pdf, keep_tail=True)
-            if out is not None:
-                yield out
-        if tail is not None:
-            out = emit(tail.reset_index(drop=True), keep_tail=False)
-            if out is not None:
-                yield out
 
     return parts.mapInPandas(assign, schema=DOCS_SCHEMA)
 
@@ -382,6 +374,7 @@ def build_index(
         if not catalog.use_iceberg:
             # discard any partial files from a killed run of this bucket
             shutil.rmtree(os.path.join(catalog.path("postings"), f"bucket={b}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(catalog.path("stats"), f"bucket={b}"), ignore_errors=True)
         bucket_docs = docs.where(F.col("bucket") == b)
         runs = posting_runs(bucket_docs, min_parallelism=nparts).withColumn(
             "doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS)
@@ -403,6 +396,8 @@ def build_index(
         else:
             blocks.write.mode("append").partitionBy("bucket").parquet(catalog.path("postings"))
         _tr(f"bucket{b}_postings")
+        write_bucket_stats(catalog, b, nparts)
+        _tr(f"bucket{b}_stats")
         nd, toks = per_bucket.get(b, (0, 0))
         wall_ms = int((time.time() - t0) * 1000)
         lineage = json.dumps(
@@ -416,11 +411,30 @@ def build_index(
     if docs_cached is not None:
         docs_cached.unpersist()
 
-    # term stats derived from postings -> consistent under resume. coalesce
-    # (narrow, no shuffle/sampling) + within-partition sort keeps per-file
-    # term order for row-group pruning without a second range shuffle.
-    stats = catalog.read("postings").groupBy("term").agg(F.sum("n_docs").cast("long").alias("df"))
-    catalog.write(stats.coalesce(max(1, nparts // 4)).sortWithinPartitions("term"), "stats")
-    _tr("term_stats")
     metrics["wall_s"] = time.time() - t_start
     return metrics
+
+
+def write_bucket_stats(catalog: Catalog, bucket: int, nparts: int) -> None:
+    """Append per-term df rows for ONE bucket, derived from that bucket's
+    just-written postings (a bucket-pruned directory read — never a full
+    postings rescan, so incremental appends stay O(new bucket), not O(index)).
+
+    ``stats`` is additive: rows are (term, df, bucket) and readers aggregate
+    ``sum(df)`` over their (tiny, IN-list-pruned) term set — the same
+    append-only contract as ``postings``, so resume/append/delete all treat
+    the bucket as the atomic rewrite unit for stats too. coalesce (narrow) +
+    within-partition sort keeps per-file term order for row-group pruning.
+    """
+    bstats = (
+        catalog.read("postings")
+        .where(F.col("bucket") == bucket)
+        .groupBy("term")
+        .agg(F.sum("n_docs").cast("long").alias("df"))
+        .withColumn("bucket", F.lit(bucket))
+    )
+    bstats = bstats.coalesce(max(1, nparts // 4)).sortWithinPartitions("term")
+    if catalog.use_iceberg:
+        catalog.append(bstats, "stats")
+    else:
+        bstats.write.mode("append").partitionBy("bucket").parquet(catalog.path("stats"))

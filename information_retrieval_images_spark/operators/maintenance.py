@@ -1,0 +1,134 @@
+"""Row-level index maintenance: delete / upsert documents (SURVEY K4/K5).
+
+Reference analogue: single-record delete (``vector_db.py:54-58``) and
+read-modify-write upsert (``vector_db.py:61-91``) against the Milvus
+collection — the most common maintenance ops for a live index. Here the
+natural rewrite unit is the BUCKET: deleting a document rewrites only the
+buckets that contain it (docs rows dropped, postings + stats re-encoded from
+the surviving docs), never the whole index.
+
+Spark-first shape: on Iceberg this is ``DELETE FROM docs WHERE url IN (...)``
+plus a bucket-scoped postings rewrite in one transaction. On the parquet
+fallback the bucket directories are rewritten via a staging dir + atomic
+directory swap; the checkpoint lineage row is appended last, so a crash
+mid-delete is detectable (lineage says which buckets were targeted) and
+re-running the same delete is idempotent (anti-join of an already-absent url
+is a no-op and the bucket rewrite is deterministic).
+
+Scores after a delete are exactly what a full rebuild without the documents
+would produce: N/avgdl are refreshed in ``stats_global``, per-term df comes
+from the additive per-bucket ``stats`` rows (rewritten for touched buckets),
+and surviving doc ids are untouched (ranking ties break on doc_id, and both
+engines order by (score, doc_id) — id *gaps* are harmless).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import K1, B
+from ..catalog import Catalog
+from .incremental import append_bucket, encode_bucket_postings
+from .index_build import CHECKPOINT_SCHEMA
+
+
+def _as_url_df(spark: SparkSession, urls) -> DataFrame:
+    if isinstance(urls, DataFrame):
+        return urls.select("url").distinct()
+    return spark.createDataFrame([(u,) for u in urls], "url string").distinct()
+
+
+def delete_docs(
+    spark: SparkSession,
+    catalog: Catalog,
+    urls,
+    *,
+    num_term_partitions: int | None = None,
+) -> dict:
+    """Remove documents by url; rewrite only the affected buckets.
+
+    ``urls``: list[str] or a DataFrame with a ``url`` column. Returns
+    {"n_deleted", "buckets"}; a url not in the index is ignored (idempotent).
+    """
+    t0 = time.time()
+    nparts = num_term_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    url_df = _as_url_df(spark, urls)
+    docs = catalog.read("docs")
+    hit = docs.join(F.broadcast(url_df), "url", "left_semi")
+    buckets = [int(r["bucket"]) for r in hit.select("bucket").distinct().collect()]
+    if not buckets:
+        return {"n_deleted": 0, "buckets": []}
+
+    # 1. rewrite docs for the affected buckets: stage -> atomic dir swap.
+    #    (Iceberg: DELETE FROM docs WHERE url IN (...) — one snapshot commit.)
+    if catalog.use_iceberg:
+        raise NotImplementedError(
+            "Iceberg delete path: DELETE FROM docs + bucket postings rewrite "
+            "in one transaction (no Iceberg runtime in this sandbox)"
+        )
+    surviving = (
+        docs.where(F.col("bucket").isin(buckets)).join(F.broadcast(url_df), "url", "left_anti")
+        # docs parquet column order is (doc_id, url, dl, text, bucket);
+        # the join moved url first — restore so the swapped files match
+        .select("doc_id", "url", "dl", "text", "bucket")
+    )
+    stage = os.path.join(catalog.root, "_stage_delete_docs")
+    shutil.rmtree(stage, ignore_errors=True)
+    n_before = docs.count()  # before the swap: `docs` lists files lazily
+    surviving.write.partitionBy("bucket").parquet(stage)
+    for b in buckets:
+        dst = os.path.join(catalog.path("docs"), f"bucket={b}")
+        src = os.path.join(stage, f"bucket={b}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):  # a bucket can end up empty
+            shutil.move(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # 2. refresh global stats (N, avgdl) from the post-delete docs table
+    all_docs = catalog.read("docs")
+    g = all_docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
+    n_deleted = n_before - n_docs
+    catalog.write(
+        spark.createDataFrame([(n_docs, avgdl, K1, B)], "n_docs long, avgdl double, k1 double, b double"),
+        "stats_global",
+    )
+
+    # 3. re-encode postings + stats for each affected bucket (the rewrite unit)
+    for b in buckets:
+        encode_bucket_postings(spark, catalog, b, avgdl, nparts)
+
+    lineage = json.dumps({"job": "delete_docs", "buckets": buckets, "n_deleted": n_deleted, "avgdl": avgdl})
+    ck = spark.createDataFrame(
+        [(buckets[0], "done", -n_deleted, 0, int((time.time() - t0) * 1000), lineage)], CHECKPOINT_SCHEMA
+    )
+    catalog.append(ck, "checkpoints")
+    return {"n_deleted": n_deleted, "buckets": buckets, "n_docs": n_docs, "avgdl": avgdl}
+
+
+def upsert_docs(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    catalog: Catalog,
+    bucket: int,
+    *,
+    lang: str | None = "en",
+    num_term_partitions: int | None = None,
+) -> dict:
+    """Insert-or-replace documents by url (reference read-modify-write upsert,
+    ``vector_db.py:61-91``): delete the urls that already exist, then append
+    everything as one fresh bucket. New content gets new doc ids (an upsert
+    IS a new document version); ranking correctness is score-level, same as
+    delete+append."""
+    urls = new_pages.select("url").distinct()
+    deleted = delete_docs(spark, catalog, urls, num_term_partitions=num_term_partitions)
+    appended = append_bucket(
+        spark, new_pages, catalog, bucket, lang=lang, num_term_partitions=num_term_partitions
+    )
+    return {"n_replaced": deleted["n_deleted"], **appended}

@@ -55,7 +55,7 @@ for it in range({repeats}):
     from information_retrieval_images_spark.operators.bm25 import bm25_topk_wand
     qdf = spark.createDataFrame(fixtures.make_queries_pandas())
     tq = time.time()
-    bm25_topk_wand(spark, cat, qdf, tasks_per_query=4).count()
+    bm25_topk_wand(spark, cat, qdf).count()
     qtimes.append(time.time() - tq)
 dt = min(builds)
 print("RESULT " + json.dumps({{"cores": {cores}, "build_s": round(dt, 2),

@@ -7,6 +7,7 @@ import math
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from information_retrieval_images_spark import fixtures
 from information_retrieval_images_spark.operators.bm25 import (
@@ -84,7 +85,9 @@ def test_stats_match_oracle(spark, corpus, built):
     g = cat.read("stats_global").collect()[0]
     assert g["n_docs"] == idx.n_docs
     assert math.isclose(g["avgdl"], idx.avgdl, rel_tol=1e-12)
-    stats = {r["term"]: r["df"] for r in cat.read("stats").collect()}
+    # stats is additive per bucket — aggregate like the query path does
+    srows = cat.read("stats").groupBy("term").agg(F.sum("df").alias("df")).collect()
+    stats = {r["term"]: r["df"] for r in srows}
     assert len(stats) == len(idx.postings)
     for term, plist in idx.postings.items():
         assert stats[term] == len(plist), term

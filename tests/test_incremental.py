@@ -56,6 +56,94 @@ def test_append_is_idempotent(spark, frames, tmp_path_factory):
     assert cat.read("docs").count() == (initial["lang"] == "en").sum()
 
 
+def test_two_appends_stats_match_rebuild(spark, tmp_path_factory):
+    """Two sequential appends: term stats equal a full rebuild's and no
+    posting block is duplicated (VERDICT r1 next-step #5)."""
+    full = fixtures.make_pages_pandas(260)
+    a, b, c = full.iloc[:120], full.iloc[120:190], full.iloc[190:]
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("twoapp")))
+    build_index(spark, spark.createDataFrame(a), cat, n_buckets=2)
+    append_bucket(spark, spark.createDataFrame(b), cat, bucket=1000)
+    append_bucket(spark, spark.createDataFrame(c), cat, bucket=1001)
+
+    rebuilt = Catalog(spark, str(tmp_path_factory.mktemp("rebuilt")))
+    build_index(spark, spark.createDataFrame(full), rebuilt, n_buckets=2)
+
+    def stats_map(cc):
+        return {
+            r["term"]: r["df"]
+            for r in cc.read("stats").groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+
+    assert stats_map(cat) == stats_map(rebuilt)
+    # no duplicate blocks: each (bucket, term, first_doc) appears once
+    pk = cat.read("postings").groupBy("bucket", "term", "first_doc").count()
+    assert pk.where(F.col("count") > 1).count() == 0
+    # global stats agree with the rebuild
+    g1 = cat.read("stats_global").collect()[0]
+    g2 = rebuilt.read("stats_global").collect()[0]
+    assert g1["n_docs"] == g2["n_docs"]
+    assert math.isclose(g1["avgdl"], g2["avgdl"], rel_tol=1e-12)
+
+
+def test_append_bucket_reuse_refused(spark, frames, tmp_path_factory):
+    initial, full = frames
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("reuse")))
+    build_index(spark, spark.createDataFrame(initial), cat, n_buckets=1)
+    append_bucket(spark, spark.createDataFrame(full.iloc[N0:]), cat, bucket=1000)
+    with pytest.raises(ValueError, match="already committed"):
+        append_bucket(spark, spark.createDataFrame(full.iloc[N0:]), cat, bucket=1000)
+    # a build bucket id is refused too
+    with pytest.raises(ValueError, match="already committed"):
+        append_bucket(spark, spark.createDataFrame(full.iloc[N0:]), cat, bucket=0)
+
+
+def test_append_crash_between_docs_and_postings_repairs(spark, frames, tmp_path_factory):
+    """Kill the append after docs are written but before postings: the retry
+    must rebuild the bucket's postings from the stranded docs instead of
+    no-opping (ADVICE r1 medium finding — docs indexed but invisible)."""
+    import math as _math
+
+    initial, full = frames
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("crash")))
+    build_index(spark, spark.createDataFrame(initial), cat, n_buckets=1)
+
+    new_rows = full.iloc[N0:]
+    # simulate the crash window: write the new docs exactly as append_bucket
+    # would, then "die" before postings/stats/checkpoint
+    from information_retrieval_images_spark.operators.incremental import append_bucket as _ab
+
+    class Killed(Exception):
+        pass
+
+    from information_retrieval_images_spark.operators import incremental as incr_mod
+
+    orig_encode = incr_mod.encode_bucket_postings
+    incr_mod.encode_bucket_postings = lambda *a, **k: (_ for _ in ()).throw(Killed())
+    try:
+        with pytest.raises(Killed):
+            _ab(spark, spark.createDataFrame(new_rows), cat, bucket=1000)
+    finally:
+        incr_mod.encode_bucket_postings = orig_encode
+
+    # stranded: docs for bucket 1000 exist, no checkpoint, no postings
+    assert cat.read("docs").where(F.col("bucket") == 1000).count() > 0
+    assert cat.read("checkpoints").where(F.col("bucket") == 1000).count() == 0
+
+    # retry with the SAME batch: anti-join sees nothing novel but repair kicks in
+    res = _ab(spark, spark.createDataFrame(new_rows), cat, bucket=1000)
+    assert res["n_new"] == 0 and res["n_repaired"] > 0
+    assert cat.read("checkpoints").where(F.col("bucket") == 1000).count() == 1
+
+    # the repaired index ranks identically to the oracle over the full corpus
+    idx = build_oracle_index(full, lang="en")
+    got = _rank_urls(spark, cat, "term000000")
+    want = [(url, score) for _, url, score in oracle_topk(idx, "term000000", k=10)]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (_, x), (_, y) in zip(got, want):
+        assert _math.isclose(x, y, rel_tol=1e-9)
+
+
 def test_streaming_foreach_batch(spark, frames, tmp_path_factory):
     """Drive append_bucket through Structured Streaming (availableNow file
     source) — the production shape for continuous corpus ingest."""

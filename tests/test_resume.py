@@ -77,3 +77,38 @@ def test_resume_noop_when_complete(spark, pages_df, tmp_path_factory):
     metrics = build_index(spark, pages_df, cat, n_buckets=2, resume=True)
     assert all(v == "resumed" for v in metrics["buckets"].values())
     pd.testing.assert_frame_equal(_postings_key(cat), before)
+
+
+def test_exists_sees_partitioned_tables(spark, pages_df, tmp_path_factory):
+    """docs/postings/stats are written with partitionBy('bucket') — their
+    parquet files live in bucket=N subdirs. exists() must find them or every
+    resume path silently re-runs (ADVICE r1 medium finding)."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("exists")))
+    build_index(spark, pages_df, cat, n_buckets=2)
+    for t in ("docs", "postings", "stats", "checkpoints", "stats_global"):
+        assert cat.exists(t), t
+    assert not cat.exists("nope")
+
+
+def _docs_file_state(cat: Catalog) -> dict:
+    import os
+
+    state = {}
+    for root, _, files in os.walk(cat.path("docs")):
+        for f in files:
+            p = os.path.join(root, f)
+            state[p] = os.path.getmtime(p)
+    return state
+
+
+def test_resume_reuses_docs_without_reassign(spark, pages_df, tmp_path_factory):
+    """'checkpoint #-1': resume must NOT re-run assign_doc_ids — the docs
+    table is reused verbatim (ids stable, extraction not repeated). Proven by
+    the docs parquet files being bit-untouched across the resume."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("reuse")))
+    build_index(spark, pages_df, cat, n_buckets=2)
+    before = _docs_file_state(cat)
+    assert before, "docs table missing"
+    metrics = build_index(spark, pages_df, cat, n_buckets=2, resume=True)
+    assert all(v == "resumed" for v in metrics["buckets"].values())
+    assert _docs_file_state(cat) == before
