@@ -104,9 +104,27 @@ def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding", n_cells: int 
     return centroids
 
 
+# Above this many centroid literals (n_cells * dim), the chained-when
+# expression tree stops being viable: Catalyst plan size/compile time grow
+# with every literal, and the reference's own config (nlist=1024, dim=3072)
+# is ~3M literals. The Arrow matmul kernel takes over there.
+_EXPR_TREE_MAX_LITERALS = 4096
+
+
 def _assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
-    """Argmin-distance cell id as a pure expression tree over the centroid
-    literals (n_cells is small — this is IVF's coarse quantization)."""
+    """Argmin-distance cell id. Two physical strategies, same semantics:
+
+    - small quantizers (few centroid literals): a pure expression tree —
+      JVM-side, whole-stage-codegen'd, zero Python;
+    - large quantizers (e.g. the reference's nlist=1024 x dim=3072,
+      vector_db.py:33-42): a broadcast numpy matmul inside an Arrow-batched
+      kernel — the expression tree would explode the Catalyst plan.
+
+    At scale, persist the assigned ``cell`` as a partition column so queries
+    prune file reads, not just rows (see ivf_topk docstring).
+    """
+    if centroids.size > _EXPR_TREE_MAX_LITERALS:
+        return _assign_cells_pandas(df, centroids, vec_col)
     best_cell = F.lit(0)
     best_d = _sq_dist(F.col(vec_col), centroids[0])
     for c in range(1, len(centroids)):
@@ -115,6 +133,34 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFra
         best_cell = F.when(cond, F.lit(c)).otherwise(best_cell)
         best_d = F.when(cond, d).otherwise(best_d)
     return df.withColumn("cell", best_cell)
+
+
+def _assign_cells_pandas(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
+    """Arrow-batched argmin over a broadcast centroid matrix: one
+    (batch x dim) @ (dim x n_cells) matmul per batch. ||x-c||^2 argmin ==
+    argmin(||c||^2 - 2x.c), so the x-norm never needs computing."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    bc = spark.sparkContext.broadcast(C)
+    # fresh StructType — StructType.add would mutate the df's cached schema
+    out_schema = StructType(list(df.schema.fields) + [StructField("cell", IntegerType())])
+    cols = df.columns
+
+    def kernel(batches):
+        Cb = bc.value
+        c_norm2 = (Cb * Cb).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            scores = c_norm2[None, :] - 2.0 * (X @ Cb.T)
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmin(scores, axis=1).astype(np.int32)
+            yield pdf[cols + ["cell"]]
+
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def _sq_dist(v, centroid: np.ndarray):

@@ -65,6 +65,42 @@ def test_ivf_topk_recall(spark, emb_df, vecs):
     assert got_1["id"].iloc[0] == 11
 
 
+def test_assign_cells_pandas_matches_expression_tree(spark, emb_df, vecs):
+    """The two physical strategies of _assign_cells (expression tree for
+    small quantizers, Arrow matmul for the reference's nlist=1024/dim=3072
+    scale) must agree on the argmin cell."""
+    cents = ann.train_ivf_centroids(emb_df, n_cells=8, iters=2, sample=N)
+    expr = ann._assign_cells(emb_df, cents, "embedding").toPandas().set_index("vec_id")["cell"]
+    pand = ann._assign_cells_pandas(emb_df, cents, "embedding").toPandas().set_index("vec_id")["cell"]
+    assert (expr.sort_index() == pand.sort_index()).all()
+    # numpy replay of the argmin
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = np.argmin(d2, axis=1)
+    assert pand.sort_index().tolist() == want.tolist()
+
+
+def test_assign_cells_dispatches_to_pandas_for_large_quantizers(spark, emb_df, vecs):
+    """Above _EXPR_TREE_MAX_LITERALS the dispatcher must route to the matmul
+    kernel (the when-chain would explode the Catalyst plan at nlist=1024)."""
+    rng = np.random.default_rng(1)
+    big = rng.standard_normal((300, DIM))  # 300*16 = 4800 > 4096 literals
+    got = ann._assign_cells(emb_df, big, "embedding").toPandas().set_index("vec_id")["cell"]
+    d2 = ((vecs[:, None, :] - big[None, :, :]) ** 2).sum(axis=2)
+    assert got.sort_index().tolist() == np.argmin(d2, axis=1).tolist()
+
+
+def test_ivf_recall_bound_at_pruned_probe(spark, emb_df, vecs):
+    """Approximation-quality gate for the pruned probe (the driver gate runs
+    nprobe=n_cells where IVF is exact; this bounds the real IVF behavior)."""
+    cents = ann.train_ivf_centroids(emb_df, n_cells=8, iters=2, sample=N)
+    hits = 0
+    for qi in (3, 11, 42, 77, 123):
+        exact = {i for i, _ in _exact_topk(vecs, vecs[qi], 10)}
+        got = ann.ivf_topk(emb_df, cents, vecs[qi].tolist(), k=10, nprobe=4).toPandas()
+        hits += len(exact & set(got["id"]))
+    assert hits / 50 >= 0.5, f"recall@10 {hits / 50} below bound at nprobe=4/8"
+
+
 def test_ann_topk_pandas_matches_bruteforce(spark, emb_df, vecs):
     Q = vecs[[3, 50]]
     got = ann.ann_topk_pandas(emb_df, Q, k=7).toPandas()

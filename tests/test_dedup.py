@@ -92,6 +92,66 @@ def test_simhash_oracle(spark, docs_df):
     assert ham <= 6
 
 
+def test_simhash_pairs_pigeonhole_and_hamming(spark, docs_df):
+    """Any pair within hamming <= n_bands-1 MUST collide on >= 1 band (the
+    LSH guarantee), and reported hamming equals the exact bit distance."""
+    got = dedup.simhash_pairs(docs_df, bits=64, band_bits=16).toPandas()
+    sigs = dedup.simhash64(docs_df, bits=64).toPandas().set_index("id")["simhash"]
+    got_pairs = {(r.id_a, r.id_b): r.hamming for r in got.itertuples()}
+    # exact dups: hamming 0, always found
+    assert got_pairs[(0, 1)] == 0 and got_pairs[(0, 2)] == 0 and got_pairs[(1, 2)] == 0
+    ids = sorted(sigs.index)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            ham = bin(int(sigs.loc[i]) ^ int(sigs.loc[j])).count("1")
+            if ham <= 3:  # 64/16 bands -> pairs within hamming 3 guaranteed
+                assert (i, j) in got_pairs, (i, j, ham)
+            if (i, j) in got_pairs:
+                assert got_pairs[(i, j)] == ham
+    # max_hamming filter
+    tight = dedup.simhash_pairs(docs_df, bits=64, band_bits=16, max_hamming=0).toPandas()
+    assert {(r.id_a, r.id_b) for r in tight.itertuples()} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """A degenerate bucket (many identical docs sharing one signature) is
+    excluded from pairing by max_bucket_size; normal near-dups survive."""
+    rows = [(i, "boilerplate empty page content") for i in range(30)]
+    # a small dup group (identical signature -> all bands collide, bucket of 2)
+    rows += [(100, "unique alpha beta gamma delta"), (101, "unique alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_candidates(df, n_hashes=16, bands=4, max_bucket_size=None).toPandas()
+    capped = dedup.minhash_lsh_candidates(df, n_hashes=16, bands=4, max_bucket_size=10).toPandas()
+    uncapped_pairs = {(a, b) for a, b in zip(uncapped["id_a"], uncapped["id_b"])}
+    boiler = {(a, b) for a, b in uncapped_pairs if a < 100 and b < 100}
+    assert len(boiler) == 30 * 29 // 2  # quadratic without the cap
+    capped_pairs = {(a, b) for a, b in zip(capped["id_a"], capped["id_b"])}
+    # the cap removes exactly the degenerate-bucket pairs, nothing else
+    assert capped_pairs == uncapped_pairs - boiler
+    assert (100, 101) in capped_pairs  # small dup groups unaffected
+
+
+def test_hash_sample_deterministic(spark):
+    from information_retrieval_images_spark.sources import hash_sample
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = hash_sample(df, "k", 10).toPandas()["k"].tolist()
+    b = hash_sample(df.repartition(7), "k", 10).toPandas()["k"].tolist()
+    assert sorted(a) == sorted(b)  # partition-layout independent
+    assert 50 <= len(a) <= 200  # ~1/10
+    # python replay: md5('s7:' || k) first 15 hex chars % 10 == 0
+    keep = [
+        k for k in range(1000)
+        if int(hashlib.md5(f"s7:{k}".encode()).hexdigest()[:15], 16) % 10 == 0
+    ]
+    assert sorted(a) == keep
+    # independent sample under a different salt
+    c = hash_sample(df, "k", 10, salt="other").toPandas()["k"].tolist()
+    assert sorted(c) != sorted(a)
+
+
 def test_embedding_neardup(spark):
     rng = np.random.default_rng(0)
     base = rng.standard_normal(16)

@@ -1,0 +1,109 @@
+"""Row-level delete/upsert (SURVEY K4/K5, reference vector_db.py:54-91):
+after deleting or replacing documents, both engines rank exactly as an
+oracle over the post-edit corpus — and only the affected buckets rewrite."""
+
+import math
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_images_spark import fixtures
+from information_retrieval_images_spark.catalog import Catalog
+from information_retrieval_images_spark.operators.bm25 import (
+    attach_urls,
+    bm25_topk_naive,
+    bm25_topk_wand,
+)
+from information_retrieval_images_spark.operators.index_build import build_index
+from information_retrieval_images_spark.operators.maintenance import delete_docs, upsert_docs
+from information_retrieval_images_spark.oracle import build_oracle_index, oracle_topk
+
+N_DOCS = 200
+QUERIES = ["term000000", "term000003 term000120", "term000401 term000000"]
+
+
+def _rank_urls(spark, cat, query_text, engine, k=10):
+    qdf = spark.createDataFrame([(0, query_text, k)], "query_id int, query_text string, k int")
+    got = attach_urls(engine(spark, cat, qdf), cat).toPandas().sort_values("rank")
+    return list(zip(got["url"], got["bm25_score"]))
+
+
+def _assert_matches_oracle(spark, cat, corpus_pdf):
+    idx = build_oracle_index(corpus_pdf, lang="en")
+    for qtext in QUERIES:
+        want = [(url, score) for _, url, score in oracle_topk(idx, qtext, k=10)]
+        for engine in (bm25_topk_wand, bm25_topk_naive):
+            got = _rank_urls(spark, cat, qtext, engine)
+            assert [u for u, _ in got] == [u for u, _ in want], (qtext, engine.__name__)
+            for (_, a), (_, b) in zip(got, want):
+                assert math.isclose(a, b, rel_tol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return fixtures.make_pages_pandas(N_DOCS)
+
+
+def test_delete_matches_rebuilt_oracle(spark, corpus, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("del")))
+    build_index(spark, spark.createDataFrame(corpus), cat, n_buckets=3)
+    en = corpus[corpus["lang"] == "en"]
+    victims = en["url"].iloc[[0, 7, 13, 25, 40]].tolist()
+
+    res = delete_docs(spark, cat, victims)
+    assert res["n_deleted"] == len(victims)
+    # docs gone, postings/stats consistent with the remaining corpus
+    left = cat.read("docs").where(F.col("url").isin(victims)).count()
+    assert left == 0
+    remaining = corpus[~corpus["url"].isin(victims)]
+    _assert_matches_oracle(spark, cat, remaining)
+    # idempotent: deleting the same urls again is a no-op
+    res2 = delete_docs(spark, cat, victims)
+    assert res2["n_deleted"] == 0
+
+
+def test_delete_touches_only_affected_buckets(spark, corpus, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("delb")))
+    build_index(spark, spark.createDataFrame(corpus), cat, n_buckets=4)
+    docs = cat.read("docs").select("url", "bucket").toPandas()
+    # victims all from one bucket
+    b0 = docs[docs["bucket"] == 2]["url"].iloc[:3].tolist()
+
+    def mtimes(table, bucket):
+        root = os.path.join(cat.path(table), f"bucket={bucket}")
+        return {
+            os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+            for r, _, fs in os.walk(root)
+            for f in fs
+        }
+
+    before = {b: mtimes("postings", b) for b in (0, 1, 3)}
+    res = delete_docs(spark, cat, b0)
+    assert res["buckets"] == [2]
+    for b in (0, 1, 3):
+        assert mtimes("postings", b) == before[b], f"bucket {b} rewritten needlessly"
+
+
+def test_upsert_replaces_content(spark, corpus, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("ups")))
+    build_index(spark, spark.createDataFrame(corpus), cat, n_buckets=2)
+    en = corpus[corpus["lang"] == "en"]
+    # replace 3 documents' content with pages from a different seed, and add 2 new ones
+    donor = fixtures.make_pages_pandas(N_DOCS + 20, seed=777).iloc[N_DOCS:]
+    donor = donor[donor["lang"] == "en"]
+    replaced = en.iloc[[1, 4, 9]].copy()
+    replaced["html"] = donor["html"].iloc[:3].values
+    replaced["text"] = donor["text"].iloc[:3].values
+    added = donor.iloc[3:5]
+    upsert_pdf = pd.concat([replaced, added], ignore_index=True)
+
+    res = upsert_docs(spark, spark.createDataFrame(upsert_pdf), cat, bucket=5000)
+    assert res["n_replaced"] == 3
+    assert res["n_new"] == len(upsert_pdf)
+
+    # oracle over the post-upsert corpus
+    post = corpus[~corpus["url"].isin(replaced["url"])]
+    post = pd.concat([post, upsert_pdf], ignore_index=True)
+    _assert_matches_oracle(spark, cat, post)
