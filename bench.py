@@ -79,6 +79,9 @@ def main() -> None:
         "tpch_pricing",
         "top_customers",
         "events_window",
+        "simhash_pairs",
+        "semi_join",
+        "sample",
     ]:
         fn = entry_queries.QUERIES[name]
         t0 = time.time()

@@ -421,6 +421,19 @@ def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_json_source(spark, path, "n_nationkey int, n_name string, n_regionkey int")
 
 
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/format functions (F5 path basename server.py:170, F6
+    zero-pad coco_utils.py:50 + truncate server.py:86, F7 round)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.format_string("%012d.jpg", F.col("doc_id").cast("int")).alias("padded"),
+        F.substring("text", 1, 20).alias("prefix"),
+        F.regexp_extract("source", r"([^/]+)$", 1).alias("basename"),
+        F.round(F.col("n_chars") / 7.0, 4).alias("sevenths"),
+    )
+
+
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sample (S7 done scale-portably — same rows on any
     cluster/partitioning, replayable in SQL): ~1/10 of documents."""
@@ -529,6 +542,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "json_source": q_json_source,
     "sample": q_sample,
+    "string_funcs": q_string_funcs,
 }
 
 # --- DuckDB oracles -------------------------------------------------------------
@@ -800,6 +814,14 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
     "sample": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE CAST(('0x' || substr(md5('s7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+""",
+    "string_funcs": """
+SELECT doc_id,
+       printf('%012d.jpg', doc_id) AS padded,
+       substr(text, 1, 20) AS prefix,
+       regexp_extract(source, '([^/]+)$', 1) AS basename,
+       round(n_chars / 7.0, 4) AS sevenths
+FROM documents WHERE doc_id < 50
 """,
 }
 

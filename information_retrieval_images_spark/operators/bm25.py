@@ -73,35 +73,54 @@ MAX_QUERY_TERMS = 100_000
 def _matched_blocks(catalog: Catalog, qterms: DataFrame):
     """Postings blocks for the query terms, with idf attached.
 
-    The collected term IN-list (queries are small by construction) becomes a
-    pushed parquet predicate -> row-group skipping on the term-sorted files;
-    the joins are broadcast (query side is tiny). Deliberately driver-side —
-    guarded by MAX_QUERY_TERMS so a million-query DataFrame fails loudly
-    instead of OOMing the driver (route such batches through several calls).
+    The query side is collected to the driver (queries are small by
+    construction — guarded by MAX_QUERY_TERMS so a million-query DataFrame
+    fails loudly instead of OOMing the driver; split such batches). This buys
+    three things for the hot query job:
 
-    ``stats`` is additive per bucket (index_build.write_bucket_stats), so df
-    is aggregated over the (pruned) rows here — a few rows per term.
+    - the term IN-list becomes a pushed parquet predicate -> row-group
+      skipping on the term-sorted postings files;
+    - per-term idf is computed driver-side from the (tiny, IN-pruned,
+      per-bucket-aggregated) stats lookup and shipped as broadcast LITERAL
+      rows, so the main job is just the pruned postings scan + one broadcast
+      hash join — no stats scan, no query re-tokenization in the plan;
+    - per-query posting volume (sum of term df) comes for free, so WAND's
+      task fan-out needs no extra job.
+
+    idf uses the shared numpy kernel (textproc.bm25_idf) — the same code the
+    oracle runs. Returns (blocks, n_docs, avgdl, volumes) with volumes
+    mapping query_id -> total matched postings.
     """
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    spark = qterms.sparkSession
+    qrows = qterms.collect()
+    terms = sorted({r["term"] for r in qrows})
     if len(terms) > MAX_QUERY_TERMS:
         raise ValueError(
             f"query batch has {len(terms)} distinct terms > {MAX_QUERY_TERMS}; "
             "split the batch — the term IN-list is pushed to the scan via the driver"
         )
     g = catalog.read("stats_global").collect()[0]
-    n_docs = int(g["n_docs"])
-    postings = catalog.read("postings").where(F.col("term").isin(terms))
-    stats = (
+    n_docs, avgdl = int(g["n_docs"]), float(g["avgdl"])
+    srows = (
         catalog.read("stats")
         .where(F.col("term").isin(terms))
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
-        .withColumn("idf", F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .collect()
     )
-    return (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(stats.select("term", "idf")), "term")
-    ), n_docs, float(g["avgdl"]), stats
+    df_map = {r["term"]: int(r["df"]) for r in srows}
+    idf_map = {t: float(bm25_idf(df, n_docs)) for t, df in df_map.items()}
+    rows = [
+        (int(r["query_id"]), r["term"], int(r["qtf"]), int(r["k"]), idf_map[r["term"]])
+        for r in qrows
+        if r["term"] in df_map  # terms absent from the index match nothing
+    ]
+    volumes: dict[int, int] = {}
+    for q, t, _, _, _ in rows:
+        volumes[q] = volumes.get(q, 0) + df_map[t]
+    qlit = spark.createDataFrame(rows, "query_id int, term string, qtf int, k int, idf double")
+    postings = catalog.read("postings").where(F.col("term").isin(list(df_map) or [""]))
+    return postings.join(F.broadcast(qlit), "term"), n_docs, avgdl, volumes
 
 
 def bm25_topk_naive(spark: SparkSession, catalog: Catalog, queries: DataFrame) -> DataFrame:
@@ -171,24 +190,18 @@ def bm25_topk_wand(
     not free). Pass an int to force a fixed fan-out.
     """
     qterms = _query_terms(queries)
-    blocks, _, avgdl, stats = _matched_blocks(catalog, qterms)
+    blocks, _, avgdl, volumes = _matched_blocks(catalog, qterms)
     if tasks_per_query is None:
-        # volume per query = sum df of its terms — one tiny job over the
-        # pruned stats rows (NOT a postings scan)
-        vol = (
-            qterms.join(stats.select("term", "df"), "term")
-            .groupBy("query_id")
-            .agg(F.sum("df").alias("n_postings"))
-            .collect()
-        )
+        # volume per query = sum df of its terms, already known driver-side
         tasks_map = {
-            int(r["query_id"]): int(min(MAX_TASKS_PER_QUERY, max(1, -(-int(r["n_postings"]) // POSTINGS_PER_TASK))))
-            for r in vol
+            q: int(min(MAX_TASKS_PER_QUERY, max(1, -(-v // POSTINGS_PER_TASK))))
+            for q, v in volumes.items()
         }
-        tdf = spark.createDataFrame(
-            [(q, t) for q, t in tasks_map.items()] or [(0, 1)], "query_id int, tasks_q int"
-        )
-        blocks = blocks.join(F.broadcast(tdf), "query_id", "left").fillna({"tasks_q": 1})
+        if len(set(tasks_map.values())) <= 1:
+            blocks = blocks.withColumn("tasks_q", F.lit(next(iter(tasks_map.values()), 1)))
+        else:
+            tdf = spark.createDataFrame(list(tasks_map.items()), "query_id int, tasks_q int")
+            blocks = blocks.join(F.broadcast(tdf), "query_id")
     else:
         blocks = blocks.withColumn("tasks_q", F.lit(int(tasks_per_query)))
     # Per-block upper bound from (max_tf, min_dl) under the CURRENT avgdl —

@@ -108,10 +108,15 @@ def append_bucket(
     docs_tbl = catalog.read("docs")
     novel = new_pages.select("url", "html").join(docs_tbl.select("url"), "url", "left_anti")
     agg0 = docs_tbl.agg(
-        F.max("doc_id").alias("mx"), F.sum((F.col("bucket") == bucket).cast("long")).alias("nb")
+        F.max("doc_id").alias("mx"),
+        F.count("*").alias("n0"),
+        F.sum((F.col("bucket") == bucket).cast("long")).alias("nb"),
     ).collect()[0]
     base = agg0["mx"]
+    # ids continue after the current max — NOT after the row count: deletes
+    # leave id gaps, and reusing a deleted id would collide doc-group scoring
     start_id = int(base) + 1 if base is not None else 0
+    n_before = int(agg0["n0"])
     n_orphaned = int(agg0["nb"] or 0)  # docs from a crashed prior attempt
 
     new_docs = assign_doc_ids(novel, n_buckets=1, start_id=start_id, fixed_bucket=bucket)
@@ -120,7 +125,7 @@ def append_bucket(
     all_docs = catalog.read("docs")
     g = all_docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(g["n"]), float(g["avgdl"])
-    n_new = n_docs - start_id
+    n_new = n_docs - n_before
     if n_new <= 0 and n_orphaned == 0:
         return {"n_new": 0, "n_docs": n_docs}
     catalog.write(
