@@ -67,6 +67,19 @@ def main() -> None:
     queries["bm25_naive_50q"] = round(time.time() - t0, 3)
     extras["bm25_result_rows"] = {"wand": n_wand, "naive": n_naive}
     extras["bm25_wand_sec_per_query"] = round(queries["bm25_wand_50q"] / fixtures.N_QUERIES, 4)
+    # single-query p50/p95 (north rule names query p95): 20 independent
+    # one-query invocations — interactive latency, dominated by per-job
+    # overhead at this SF rather than posting volume
+    singles = []
+    one_q = fixtures.make_queries_pandas().head(20)
+    for row in one_q.itertuples(index=False):
+        q1 = spark.createDataFrame([tuple(row)], "query_id int, query_text string, k int")
+        t0 = time.time()
+        bm25_topk_wand(spark, cat, q1).count()
+        singles.append(time.time() - t0)
+    singles.sort()
+    extras["bm25_wand_single_p50_s"] = round(singles[len(singles) // 2], 3)
+    extras["bm25_wand_single_p95_s"] = round(singles[int(len(singles) * 0.95) - 1], 3)
 
     # --- driver-table headline queries ----------------------------------------
     for name in [

@@ -5,11 +5,14 @@ term-range-partitioned, doc-sorted, delta-gap+varint block-max posting table).
 Pipeline (SURVEY.md §3.3 target lifecycle):
 
   pages (Iceberg/parquet scan, lang pushdown)
-    -> dense doc_id assignment (coordination-free two-pass: url-only scan
-       counts per fixed logical group md5(url) % P_LOGICAL -> driver prefix
-       sums; hash repartition by group + sorted assign. Deterministic on any
-       cluster width, no sampling, no corpus persist, no global sort)
-    -> mapInPandas extract (shared kernel, byte-identical per url)
+    -> mapInPandas extract ON THE SCAN SIDE (shared kernel, byte-identical
+       per url) — html never enters a shuffle; only the ~30-60x smaller
+       extracted text moves
+    -> dense doc_id assignment (coordination-free: url-only scan counts per
+       fixed logical group md5(url) % P_LOGICAL -> driver prefix sums; hash
+       repartition of the extracted rows by group + sorted assign.
+       Deterministic on any cluster width, no sampling, no corpus persist,
+       no global sort)
     -> docs table (doc_id, url, dl, text, bucket)
     -> per BUCKET (checkpointed, resumable):
          mapInPandas SPIMI run generation -> (term, doc_id, tf, dl)
@@ -98,21 +101,30 @@ def assign_doc_ids(
     are dense in (url_group, url) order where url_group = md5_60bit(url) %
     P_LOGICAL — a fixed constant, so ids do not depend on cluster width.
 
-    Two passes, both deterministic:
-    1. counts per url_group — a column-pruned scan of ``url`` only (the
-       corpus html is NOT read, NOT shuffled, NOT persisted) -> driver prefix
-       sums over P_LOGICAL rows;
-    2. hash-repartition the corpus by url_group (equal keys co-locate; no
-       boundary sampling), sort (url_group, url) within partitions, then an
-       Arrow-batched mapInPandas assigns offset[group] + position.
+    Three stages, all deterministic:
+    1. counts per url_group — a column-pruned scan of ``url`` only -> driver
+       prefix sums over P_LOGICAL rows;
+    2. EXTRACT on the scan side, BEFORE any shuffle: the html payload is
+       ~30-60x larger than the extracted text (real pages are 50-100 KB of
+       markup for 1-2 KB of text), so extracting first means the id shuffle
+       moves text, never html — at 100 TB of pages that is the difference
+       between shuffling 100 TB and shuffling ~3 TB. When the parquet scan
+       under-splits (tiny corpora bin-packed into few input splits), a cheap
+       round-robin repartition restores kernel parallelism first — by
+       construction that only happens when the corpus is small enough for
+       the html shuffle to be trivial;
+    3. hash-repartition the extracted rows by url_group (equal keys
+       co-locate; no boundary sampling), sort (url_group, url) within
+       partitions, then an Arrow-batched mapInPandas assigns
+       offset[group] + position.
 
     Memory contract: rows of a group are contiguous within the sorted
     partition, so a group spanning Arrow batches needs only a running
     ``{group: rows_seen}`` counter carried across batches — NEVER a buffered
-    frame. (Buffering the trailing partial group would hold entire html
-    payloads of a straggling group in pandas memory: at 10^9 docs a url_group
-    is ~10^6 docs, gigabytes per worker.) The counter dict is bounded by the
-    number of groups per partition (<= P_LOGICAL).
+    frame. (Buffering the trailing partial group would hold a straggling
+    group's payloads in pandas memory: at 10^9 docs a url_group is ~10^6
+    docs, gigabytes per worker.) The counter dict is bounded by the number
+    of groups per partition (<= P_LOGICAL).
     """
     spark = pages.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
@@ -125,11 +137,27 @@ def assign_doc_ids(
         acc += by_g.get(g, 0)
     boff = spark.sparkContext.broadcast(offsets)
 
-    parts = (
-        pages.withColumn("g", _group_expr())
-        .repartition(nparts, "g")
-        .sortWithinPartitions("g", "url")
-    )
+    src = pages.select("url", "html").withColumn("g", _group_expr())
+    if src.rdd.getNumPartitions() < nparts:
+        src = src.repartition(nparts)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            text = extract_text_series(pdf["html"])
+            toks = text.str.lower().str.split()
+            yield pd.DataFrame(
+                {
+                    "g": pdf["g"].values,
+                    "url": pdf["url"].values,
+                    "dl": toks.map(len).astype("int32").values,
+                    "text": text.values,
+                }
+            )
+
+    extracted = src.mapInPandas(extract, schema="g long, url string, dl int, text string")
+    parts = extracted.repartition(nparts, "g").sortWithinPartitions("g", "url")
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen: dict[int, int] = {}  # group -> rows already assigned (this partition)
@@ -137,8 +165,6 @@ def assign_doc_ids(
             if pdf.empty:
                 continue
             gs = pdf["g"].values
-            text = extract_text_series(pdf["html"])
-            toks = text.str.lower().str.split()
             # position within each group run + broadcast group offset +
             # cross-batch running count for the group
             change = np.concatenate(([True], gs[1:] != gs[:-1]))
@@ -157,8 +183,8 @@ def assign_doc_ids(
                 {
                     "doc_id": doc_ids,
                     "url": pdf["url"].values,
-                    "dl": toks.map(len).astype("int32").values,
-                    "text": text.values,
+                    "dl": pdf["dl"].values.astype("int32"),
+                    "text": pdf["text"].values,
                     # round-robin: gaps inside a bucket's blocks are ~n_buckets,
                     # still one varint byte for any sane bucket count
                     "bucket": (

@@ -112,6 +112,66 @@ def delete_docs(
     return {"n_deleted": n_deleted, "buckets": buckets, "n_docs": n_docs, "avgdl": avgdl}
 
 
+def compact_buckets(
+    spark: SparkSession,
+    catalog: Catalog,
+    buckets: list[int],
+    target_bucket: int,
+    *,
+    num_term_partitions: int | None = None,
+) -> dict:
+    """Merge several (small) buckets into one fresh bucket.
+
+    Continuous ingest (streaming/__init__.incremental_index_update) creates
+    one bucket per micro-batch; thousands of tiny buckets mean thousands of
+    small postings files and term fragments, which erodes scan pruning and
+    per-file parallelism. Compaction moves the docs (ids unchanged — scores
+    and tie-breaks are untouched) into ``target_bucket`` and re-encodes its
+    postings/stats once. On Iceberg this is a rewrite-data-files action; on
+    the parquet fallback it is the same staging + dir-swap as delete_docs.
+
+    ``target_bucket`` must be fresh (same guard as append_bucket).
+    """
+    t0 = time.time()
+    nparts = num_term_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from .incremental import _checkpointed_buckets
+
+    if target_bucket in _checkpointed_buckets(catalog) or target_bucket in buckets:
+        raise ValueError(f"target bucket {target_bucket} is not fresh")
+    if catalog.use_iceberg:
+        raise NotImplementedError("Iceberg compaction: rewrite_data_files + MERGE (no runtime here)")
+    docs = catalog.read("docs")
+    moved = (
+        docs.where(F.col("bucket").isin(buckets))
+        .withColumn("bucket", F.lit(target_bucket))
+        .select("doc_id", "url", "dl", "text", "bucket")
+    )
+    stage = os.path.join(catalog.root, "_stage_compact")
+    shutil.rmtree(stage, ignore_errors=True)
+    moved.write.partitionBy("bucket").parquet(stage)
+    n_moved = catalog.spark.read.parquet(stage).count()
+    if n_moved == 0:
+        shutil.rmtree(stage, ignore_errors=True)
+        return {"n_moved": 0, "buckets": [], "target": target_bucket}
+    for b in buckets:
+        shutil.rmtree(os.path.join(catalog.path("docs"), f"bucket={b}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(catalog.path("postings"), f"bucket={b}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(catalog.path("stats"), f"bucket={b}"), ignore_errors=True)
+    shutil.move(os.path.join(stage, f"bucket={target_bucket}"), os.path.join(catalog.path("docs"), f"bucket={target_bucket}"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # same corpus, same N/avgdl — only the layout changed
+    avgdl = float(catalog.read("stats_global").collect()[0]["avgdl"])
+    encode_bucket_postings(spark, catalog, target_bucket, avgdl, nparts)
+
+    lineage = json.dumps({"job": "compact_buckets", "buckets": buckets, "target": target_bucket, "n_moved": n_moved})
+    ck = spark.createDataFrame(
+        [(target_bucket, "done", n_moved, 0, int((time.time() - t0) * 1000), lineage)], CHECKPOINT_SCHEMA
+    )
+    catalog.append(ck, "checkpoints")
+    return {"n_moved": n_moved, "buckets": buckets, "target": target_bucket}
+
+
 def upsert_docs(
     spark: SparkSession,
     new_pages: DataFrame,

@@ -86,6 +86,40 @@ def test_delete_touches_only_affected_buckets(spark, corpus, tmp_path_factory):
         assert mtimes("postings", b) == before[b], f"bucket {b} rewritten needlessly"
 
 
+def test_compact_buckets_preserves_ranking(spark, corpus, tmp_path_factory):
+    """Three streaming-style appends then compaction into one bucket: same
+    ranking, same stats, fewer buckets (the small-file maintenance op)."""
+    from information_retrieval_images_spark.operators.incremental import append_bucket
+    from information_retrieval_images_spark.operators.maintenance import compact_buckets
+
+    a, b, c, d = corpus.iloc[:80], corpus.iloc[80:120], corpus.iloc[120:160], corpus.iloc[160:]
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("cmp")))
+    build_index(spark, spark.createDataFrame(a), cat, n_buckets=1)
+    for i, part in enumerate((b, c, d)):
+        append_bucket(spark, spark.createDataFrame(part), cat, bucket=1000 + i)
+    assert cat.read("postings").select("bucket").distinct().count() == 4
+
+    res = compact_buckets(spark, cat, [1000, 1001, 1002], target_bucket=2000)
+    assert res["n_moved"] == (corpus.iloc[80:]["lang"] == "en").sum()
+    buckets_after = {r["bucket"] for r in cat.read("postings").select("bucket").distinct().collect()}
+    assert buckets_after == {0, 2000}
+    # stats identical to a full rebuild's
+    rebuilt = Catalog(spark, str(tmp_path_factory.mktemp("cmpreb")))
+    build_index(spark, spark.createDataFrame(corpus), rebuilt, n_buckets=2)
+
+    def stats_map(cc):
+        return {
+            r["term"]: r["df"]
+            for r in cc.read("stats").groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+
+    assert stats_map(cat) == stats_map(rebuilt)
+    _assert_matches_oracle(spark, cat, corpus)
+    # target must be fresh
+    with pytest.raises(ValueError, match="not fresh"):
+        compact_buckets(spark, cat, [0], target_bucket=2000)
+
+
 def test_upsert_replaces_content(spark, corpus, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("ups")))
     build_index(spark, spark.createDataFrame(corpus), cat, n_buckets=2)

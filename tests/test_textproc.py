@@ -30,6 +30,30 @@ def test_extract_handles_none_and_str():
     assert extract_text("<b>x</b>") == "x"
 
 
+def test_extract_edge_battery_locked():
+    """Pins the single-pass strip semantics on messy inputs (goldens: this
+    IS the contract — engine and oracle share the one kernel, so changing
+    outputs here means regenerating every index and expected ranking)."""
+    cases = [
+        (b"<p>hello &amp; goodbye</p>", "hello & goodbye"),
+        (b"<script>var x = '<div>not text</div>';</script>visible", "visible"),
+        (b"<style>.a{color:red}</style>text<!-- comment <b>bold</b> -->tail", "text tail"),
+        (b"<SCRIPT>UPPER</SCRIPT>ok<STYLE>s</STYLE>", "ok"),
+        # unclosed script block: only the opening tag strips; body is text
+        (b"<script>unclosed block", "unclosed block"),
+        (b"<div class='a' data-x=\"<>\">inner</div>", '">inner'),
+        (b"a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &apos;a&apos; &nbsp;b", "a <tag> \"q\" 's' 'a' b"),
+        (b"   lots \t of \n whitespace   ", "lots of whitespace"),
+        (b"<script>a<!-- </script> -->b</script>c", "-->b c"),
+        (b"", ""),
+        (b"plain text no tags", "plain text no tags"),
+        (b"<script >spaced</script >x<script\ny>nl</script\n>", "x"),
+    ]
+    got = extract_text_series(pd.Series([h for h, _ in cases]))
+    for (h, want), g in zip(cases, got):
+        assert g == want, (h, g, want)
+
+
 def test_extract_matches_fixture_ground_truth():
     pages = fixtures.make_pages_pandas(50)
     got = extract_text_series(pages["html"])
