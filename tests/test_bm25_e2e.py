@@ -109,6 +109,20 @@ def test_wand_rank_identity(spark, corpus, built):
     _assert_rank_identical(got, expected[["query_id", "rank", "doc_id", "bm25_score"]])
 
 
+def test_query_term_guard(spark, built, monkeypatch):
+    """The driver-side term collect is bounded: a batch with more distinct
+    terms than MAX_QUERY_TERMS fails loudly instead of OOMing the driver."""
+    from information_retrieval_images_spark.operators import bm25 as bm25_mod
+
+    cat, _ = built
+    monkeypatch.setattr(bm25_mod, "MAX_QUERY_TERMS", 3)
+    qdf = spark.createDataFrame(
+        [(0, "one two three four five", 10)], "query_id int, query_text string, k int"
+    )
+    with pytest.raises(ValueError, match="distinct terms"):
+        bm25_topk_naive(spark, cat, qdf).count()
+
+
 def test_attach_urls(spark, corpus, built):
     _, queries, idx, expected = corpus
     cat, _ = built
