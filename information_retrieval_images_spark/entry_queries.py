@@ -377,7 +377,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 4x8-bit keys; candidates sharing a band key get their exact hamming
     distance (bit_count of xor). Mirrors operators.dedup.simhash_pairs."""
     sh = q_simhash(spark, sf_dir)
-    band_arr = F.array(*[(F.shiftrightunsigned("simhash", 8 * b) % 256).cast("long") for b in range(4)])
+    # mask (NOT %): band-0's unshifted value keeps the sign bit, and Spark's
+    # % of a negative long is negative — a sign-straddling pair with equal
+    # low bytes would get keys v and v-256 and silently never collide. The
+    # DuckDB oracle's `& 255` was always correct; this matches it.
+    band_arr = F.array(
+        *[F.shiftrightunsigned("simhash", 8 * b).bitwiseAND(F.lit(255)).cast("long") for b in range(4)]
+    )
     bands = sh.select("doc_id", "simhash", F.posexplode(band_arr).alias("band", "key"))
     a, b = bands.alias("a"), bands.alias("b")
     return (

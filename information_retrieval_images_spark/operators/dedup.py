@@ -166,11 +166,31 @@ def simhash_pairs(
     keys; no all-pairs stage. Completes the reference's top-N-overlap dedup
     analogue left half-built in round 1 (VERDICT r1 missing #4).
     """
+    sh = simhash64(df, text_col, id_col, bits=bits)
+    return simhash_pairs_from_signatures(sh, bits=bits, band_bits=band_bits, max_hamming=max_hamming)
+
+
+def simhash_pairs_from_signatures(
+    sh: DataFrame,
+    bits: int = 64,
+    band_bits: int = 16,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Band + verify over an (id, simhash) signature frame (the LSH half of
+    :func:`simhash_pairs`, split out so the collision guarantee is testable
+    on synthetic signatures)."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sh = simhash64(df, text_col, id_col, bits=bits)
+    # extract band bits with a mask, NEVER %: band 0 is unshifted, so a
+    # negative (sign-bit-set) simhash fed to Spark's % yields a NEGATIVE
+    # remainder — identical band-0 bits then produce keys v and v-2^band_bits
+    # on the two sides and the pair never collides, silently voiding the
+    # pigeonhole recall guarantee for sign-straddling signatures.
     band_arr = F.array(
-        *[(F.shiftrightunsigned(F.col("simhash"), b * band_bits) % F.lit(mask + 1)).cast("long") for b in range(n_bands)]
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)).cast("long")
+            for b in range(n_bands)
+        ]
     )
     bands = sh.select(F.col("id"), F.col("simhash"), F.posexplode(band_arr).alias("band", "key"))
     a, b = bands.alias("a"), bands.alias("b")

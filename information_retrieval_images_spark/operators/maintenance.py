@@ -185,7 +185,14 @@ def upsert_docs(
     ``vector_db.py:61-91``): delete the urls that already exist, then append
     everything as one fresh bucket. New content gets new doc ids (an upsert
     IS a new document version); ranking correctness is score-level, same as
-    delete+append."""
+    delete+append. A new version that fails the lang filter is NOT indexed
+    and its old version is kept (never deleted-without-replacement)."""
+    # the lang filter decides what append_bucket will actually index; delete
+    # only urls that WILL be re-appended — otherwise an upsert whose new
+    # version fails the filter silently deletes the document instead of
+    # leaving the old version in place
+    if lang is not None:
+        new_pages = new_pages.where(F.col("lang") == lang)
     urls = new_pages.select("url").distinct()
     deleted = delete_docs(spark, catalog, urls, num_term_partitions=num_term_partitions)
     appended = append_bucket(

@@ -115,6 +115,21 @@ def test_simhash_pairs_pigeonhole_and_hamming(spark, docs_df):
     assert {(r.id_a, r.id_b) for r in tight.itertuples()} == {(0, 1), (0, 2), (1, 2)}
 
 
+def test_simhash_band_key_ignores_sign_bit(spark):
+    """Regression (ADVICE r2): two signatures that differ ONLY in bit 63
+    share every band's bits except band 3 — in particular band 0 — so they
+    MUST collide (hamming 1 <= n_bands-1 pigeonhole). The old `%`-based key
+    made band 0's key negative for the sign-set signature (v-65536 vs v) and
+    the pair silently never paired."""
+    neg = -(1 << 63) | 0x1234  # sign bit set, low 16 bits 0x1234
+    pos = 0x1234  # sign bit clear, same low 16 bits
+    sh = spark.createDataFrame([(0, pos), (1, neg)], "id long, simhash long")
+    got = dedup.simhash_pairs_from_signatures(sh, bits=64, band_bits=16).toPandas()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got.itertuples()}
+    assert (0, 1) in pairs, "sign-straddling pair with identical band-0 bits must collide"
+    assert pairs[(0, 1)] == 1
+
+
 def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
     """A degenerate bucket (many identical docs sharing one signature) is
     excluded from pairing by max_bucket_size; normal near-dups survive."""
