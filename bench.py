@@ -8,6 +8,13 @@ Input: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. The fulltext corpus is the deterministic synthetic
 webtext fixture (FIXTURES.md) scaled as 600k docs * sf, generated
 distributed and cached under /tmp (regenerable bit-identically).
+
+Noise methodology (VERDICT r2 what's-wrong #4): this VM shows 1.3-5.6x
+run-to-run drift from hypervisor steal, so every number is a best-of-N with
+the repetitions INTERLEAVED across queries (rep loop outside the query loop)
+— consecutive same-query repeats would share the drift window; interleaving
+decorrelates it. Per-query run arrays are reported in "runs" so a reader can
+see the spread instead of trusting a single draw.
 """
 
 from __future__ import annotations
@@ -20,6 +27,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERY_REPS = 3
+BUILD_REPS = 2
+N_SINGLE_QUERIES = 8
 
 
 def main() -> None:
@@ -38,51 +49,34 @@ def main() -> None:
     from information_retrieval_images_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cpus}]", app_name="ir-bench")
-    queries: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     extras: dict = {"cpus": cpus}
     t_total = time.time()
 
-    # --- fulltext engine: build throughput -----------------------------------
+    def record(name: str, secs: float) -> None:
+        runs.setdefault(name, []).append(round(secs, 3))
+
+    # --- fulltext engine: build throughput (best-of-N, fresh warehouse each) --
     n_docs = max(2000, int(600_000 * sf))
     corpus_path = f"/tmp/ir_bench_corpus_{n_docs}"
     if not os.path.isdir(corpus_path):
         fixtures.generate_pages_df(spark, n_docs, partitions=cpus).write.mode("overwrite").parquet(corpus_path)
     pages = spark.read.parquet(corpus_path)
     wh = f"/tmp/ir_bench_wh_{n_docs}"
-    shutil.rmtree(wh, ignore_errors=True)
-    cat = Catalog(spark, wh)
-    t0 = time.time()
-    metrics = build_index(spark, pages, cat, lang="en", n_buckets=2)
-    queries["index_build"] = round(time.time() - t0, 3)
-    extras["n_docs_indexed"] = metrics["n_docs"]
-    extras["build_docs_per_sec"] = round(metrics["n_docs"] / queries["index_build"], 1)
-
-    # --- fulltext engine: query latency ---------------------------------------
-    qdf = spark.createDataFrame(fixtures.make_queries_pandas())
-    t0 = time.time()
-    n_wand = bm25_topk_wand(spark, cat, qdf).count()
-    queries["bm25_wand_50q"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_naive = bm25_topk_naive(spark, cat, qdf).count()
-    queries["bm25_naive_50q"] = round(time.time() - t0, 3)
-    extras["bm25_result_rows"] = {"wand": n_wand, "naive": n_naive}
-    extras["bm25_wand_sec_per_query"] = round(queries["bm25_wand_50q"] / fixtures.N_QUERIES, 4)
-    # single-query p50/p95 (north rule names query p95): 20 independent
-    # one-query invocations — interactive latency, dominated by per-job
-    # overhead at this SF rather than posting volume
-    singles = []
-    one_q = fixtures.make_queries_pandas().head(20)
-    for row in one_q.itertuples(index=False):
-        q1 = spark.createDataFrame([tuple(row)], "query_id int, query_text string, k int")
+    cat = None
+    for _ in range(BUILD_REPS):
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = Catalog(spark, wh)
         t0 = time.time()
-        bm25_topk_wand(spark, cat, q1).count()
-        singles.append(time.time() - t0)
-    singles.sort()
-    extras["bm25_wand_single_p50_s"] = round(singles[len(singles) // 2], 3)
-    extras["bm25_wand_single_p95_s"] = round(singles[int(len(singles) * 0.95) - 1], 3)
+        metrics = build_index(spark, pages, cat, lang="en", n_buckets=2)
+        record("index_build", time.time() - t0)
+    extras["n_docs_indexed"] = metrics["n_docs"]
+    extras["build_docs_per_sec"] = round(metrics["n_docs"] / min(runs["index_build"]), 1)
 
-    # --- driver-table headline queries ----------------------------------------
-    for name in [
+    # --- query latency + headline gates: interleaved best-of-N ----------------
+    qdf = spark.createDataFrame(fixtures.make_queries_pandas())
+    single_rows = list(fixtures.make_queries_pandas().head(N_SINGLE_QUERIES).itertuples(index=False))
+    gate_names = [
         "bm25_topk",
         "term_df",
         "minhash_lsh",
@@ -95,11 +89,38 @@ def main() -> None:
         "simhash_pairs",
         "semi_join",
         "sample",
-    ]:
-        fn = entry_queries.QUERIES[name]
+    ]
+    result_rows = {}
+    for rep in range(QUERY_REPS):
         t0 = time.time()
-        fn(spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
+        result_rows["wand"] = bm25_topk_wand(spark, cat, qdf).count()
+        record("bm25_wand_50q", time.time() - t0)
+        t0 = time.time()
+        result_rows["naive"] = bm25_topk_naive(spark, cat, qdf).count()
+        record("bm25_naive_50q", time.time() - t0)
+        # single-query latency probes (north rule names query p95): one-query
+        # invocations — interactive latency, dominated by per-job overhead at
+        # this SF rather than posting volume
+        for row in single_rows:
+            q1 = spark.createDataFrame([tuple(row)], "query_id int, query_text string, k int")
+            t0 = time.time()
+            bm25_topk_wand(spark, cat, q1).count()
+            record(f"single_{row.query_id}", time.time() - t0)
+        for name in gate_names:
+            fn = entry_queries.QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            record(name, time.time() - t0)
+
+    queries = {name: min(r) for name, r in runs.items() if not name.startswith("single_")}
+    singles = sorted(min(r) for name, r in runs.items() if name.startswith("single_"))
+    extras["bm25_result_rows"] = result_rows
+    extras["bm25_wand_sec_per_query"] = round(queries["bm25_wand_50q"] / fixtures.N_QUERIES, 4)
+    extras["bm25_wand_single_p50_s"] = round(singles[len(singles) // 2], 3)
+    extras["bm25_wand_single_p95_s"] = round(singles[max(0, int(len(singles) * 0.95) - 1)], 3)
+    extras["reps"] = {"build": BUILD_REPS, "query": QUERY_REPS}
+    extras["runs"] = {k: v for k, v in runs.items() if not k.startswith("single_")}
+    extras["single_runs"] = {k: v for k, v in runs.items() if k.startswith("single_")}
 
     total = round(time.time() - t_total, 3)
     out = {

@@ -14,9 +14,13 @@ intentional deviation: doc ids of appended docs are ordered within their
 batch, not re-ranked globally (a rebuild renumbers; an append must not).
 
 Cost contract: one append touches ONLY the new bucket — stats rows are
-additive per bucket (index_build.write_bucket_stats), so no full postings
-rescan per micro-batch. The global (N, avgdl) refresh is one column-pruned
-agg over docs.
+additive per bucket (index_build.write_bucket_postings), so no full postings
+rescan per micro-batch, and the global (N, sum dl, max doc_id) bookkeeping is
+delta-maintained from the cached stats_global row plus bucket-scoped aggs
+(zero full-corpus jobs per append). The one remaining whole-table read is the
+url anti-join itself — inherent to ingest-by-anti-join semantics and pruned
+to the url column; at 10^12 docs, route it through a per-bucket url bloom
+filter recorded in the checkpoint manifest.
 
 Exactly-once contract: the bucket is the commit unit. docs are written before
 postings; if the job dies in that window, a retry finds docs for the bucket
@@ -31,14 +35,11 @@ BM25 contributions).
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import K1, B
 from ..catalog import Catalog
 from .index_build import (
     CHECKPOINT_SCHEMA,
@@ -46,7 +47,7 @@ from .index_build import (
     assign_doc_ids,
     encode_blocks,
     posting_runs,
-    write_bucket_stats,
+    write_bucket_postings,
 )
 
 
@@ -55,10 +56,14 @@ def encode_bucket_postings(
 ) -> None:
     """(Re)build one bucket's postings + stats from the docs table — the
     shared bucket-rewrite unit used by append, crash repair and row deletes.
-    Discards any existing files for the bucket first (idempotent)."""
-    if not catalog.use_iceberg:
-        shutil.rmtree(os.path.join(catalog.path("postings"), f"bucket={bucket}"), ignore_errors=True)
-        shutil.rmtree(os.path.join(catalog.path("stats"), f"bucket={bucket}"), ignore_errors=True)
+    Idempotent: existing files for the bucket are discarded first — on the
+    parquet path via the bucket-directory overwrite inside
+    write_bucket_postings; on Iceberg via DELETE FROM of the bucket's rows
+    before the append (a plain append would double a crash-retried bucket's
+    df and BM25 scores)."""
+    if catalog.use_iceberg:
+        for t in ("postings", "stats"):
+            spark.sql(f"DELETE FROM {t} WHERE bucket = {int(bucket)}")
     bucket_docs = catalog.read("docs").where(F.col("bucket") == bucket)
     runs = posting_runs(bucket_docs, min_parallelism=nparts).withColumn(
         "doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS)
@@ -66,12 +71,8 @@ def encode_bucket_postings(
     sorted_runs = (
         runs.repartition(nparts, "term", "doc_group").sortWithinPartitions("term", "doc_id").drop("doc_group")
     )
-    blocks = encode_blocks(sorted_runs, avgdl).withColumn("bucket", F.lit(bucket))
-    if catalog.use_iceberg:
-        catalog.append(blocks, "postings")
-    else:
-        blocks.write.mode("append").partitionBy("bucket").parquet(catalog.path("postings"))
-    write_bucket_stats(catalog, bucket, nparts)
+    blocks = encode_blocks(sorted_runs, avgdl)
+    write_bucket_postings(catalog, blocks, bucket, nparts)
 
 
 def _checkpointed_buckets(catalog: Catalog) -> set[int]:
@@ -107,31 +108,45 @@ def append_bucket(
         new_pages = new_pages.where(F.col("lang") == lang)
     docs_tbl = catalog.read("docs")
     novel = new_pages.select("url", "html").join(docs_tbl.select("url"), "url", "left_anti")
-    agg0 = docs_tbl.agg(
-        F.max("doc_id").alias("mx"),
-        F.count("*").alias("n0"),
-        F.sum((F.col("bucket") == bucket).cast("long")).alias("nb"),
+
+    # Global-stats bookkeeping is INCREMENTAL: (N, sum dl, max id) come from
+    # the cached stats_global row plus bucket-scoped deltas — never a
+    # full-corpus count/avg/max job per append (O(index) per streaming
+    # micro-batch otherwise). Only this bucket's directory is scanned.
+    n0, sum0, max0 = catalog.global_doc_stats()
+    orphan = docs_tbl.where(F.col("bucket") == bucket).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s"), F.max("doc_id").alias("mx")
     ).collect()[0]
-    base = agg0["mx"]
+    n_orphaned = int(orphan["n"])  # docs from a crashed prior attempt
+    sum_orphan = int(orphan["s"] or 0)
+    max_orphan = int(orphan["mx"]) if orphan["mx"] is not None else -1
+    # Crash-window disambiguation: stats_global is written AFTER the docs
+    # append, so orphans are already reflected in (n0, sum0) iff their ids
+    # are <= max0 (appends only ever raise max_doc_id; deletes never lower
+    # it, so "id > max0" <=> "not yet counted").
+    orphans_counted = n_orphaned > 0 and max_orphan <= max0
     # ids continue after the current max — NOT after the row count: deletes
     # leave id gaps, and reusing a deleted id would collide doc-group scoring
-    start_id = int(base) + 1 if base is not None else 0
-    n_before = int(agg0["n0"])
-    n_orphaned = int(agg0["nb"] or 0)  # docs from a crashed prior attempt
+    start_id = max(max0, max_orphan) + 1
 
     new_docs = assign_doc_ids(novel, n_buckets=1, start_id=start_id, fixed_bucket=bucket)
     catalog.write(new_docs, "docs", mode="append", partition_by=["bucket"])
 
-    all_docs = catalog.read("docs")
-    g = all_docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(g["n"]), float(g["avgdl"])
-    n_new = n_docs - n_before
+    bnow = catalog.read("docs").where(F.col("bucket") == bucket).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    n_bucket, sum_bucket = int(bnow["n"]), int(bnow["s"] or 0)
+    max_bucket = int(bnow["mx"]) if bnow["mx"] is not None else -1
+    n_new = n_bucket - n_orphaned
     if n_new <= 0 and n_orphaned == 0:
-        return {"n_new": 0, "n_docs": n_docs}
-    catalog.write(
-        spark.createDataFrame([(n_docs, avgdl, K1, B)], "n_docs long, avgdl double, k1 double, b double"),
-        "stats_global",
-    )
+        return {"n_new": 0, "n_docs": n0}
+    if orphans_counted:
+        n_docs, sum_dl = n0 + n_new, sum0 + (sum_bucket - sum_orphan)
+    else:
+        n_docs, sum_dl = n0 + n_bucket, sum0 + sum_bucket
+    from .index_build import write_stats_global
+
+    avgdl = write_stats_global(catalog, n_docs, sum_dl, max(max0, max_bucket))
 
     encode_bucket_postings(spark, catalog, bucket, avgdl, nparts)
 

@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from typing import Iterator
 
@@ -77,6 +76,45 @@ POSTINGS_SCHEMA = (
     "docs_enc binary, tfs_enc binary, dls_enc binary"
 )
 CHECKPOINT_SCHEMA = "bucket int, status string, n_docs long, n_postings long, wall_ms long, lineage string"
+# sum_dl and max_doc_id make every maintenance op O(touched buckets): append/
+# delete update (N, sum dl) by bucket-scoped deltas instead of re-aggregating
+# the whole docs table, and max_doc_id replaces the full-corpus max(doc_id)
+# job when allocating the next append's id range (deletes never lower it, so
+# "id > max_doc_id" <=> "not yet reflected in stats_global" — the invariant
+# crash-repair uses to decide whether orphaned docs were already counted).
+GLOBAL_STATS_SCHEMA = "n_docs long, avgdl double, k1 double, b double, sum_dl long, max_doc_id long"
+
+# Second partition dimension on postings/stats: tp = crc32(term) % TP_N.
+# Directory layout bucket=B/tp=T means a k-term query prunes to <= k of the
+# TP_N term-prefix directories per bucket (Catalyst PartitionFilters) instead
+# of opening every bucket file — the inverted-index analogue of IVF probe-time
+# partition pruning (reference vector_db.py:33-42). The driver computes the
+# same crc32 prefix for the query's IN-list (zlib.crc32 == Spark crc32).
+# At 10^12 docs raise TP_N (it bounds files-per-query at k/TP_N of the term
+# space); 16 keeps sandbox file counts sane.
+TERM_PREFIX_PARTITIONS = 16
+
+
+def term_prefix_expr(col: str = "term"):
+    return F.pmod(F.crc32(F.encode(F.col(col), "UTF-8")), F.lit(TERM_PREFIX_PARTITIONS)).cast("int")
+
+
+def term_prefix(term: str) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % TERM_PREFIX_PARTITIONS
+
+
+def write_stats_global(catalog: Catalog, n_docs: int, sum_dl: int, max_doc_id: int) -> float:
+    """Overwrite the single-row global stats table; returns the new avgdl."""
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    catalog.write(
+        catalog.spark.createDataFrame(
+            [(int(n_docs), float(avgdl), K1, B, int(sum_dl), int(max_doc_id))], GLOBAL_STATS_SCHEMA
+        ),
+        "stats_global",
+    )
+    return avgdl
 
 
 # --- Step 0: dense doc_id assignment + extraction -----------------------------
@@ -380,15 +418,14 @@ def build_index(
 
     # one job yields global AND per-bucket stats (avoids a per-bucket agg job
     # later — every extra action costs a full job round-trip)
-    brows = docs.groupBy("bucket").agg(F.count("*").alias("nd"), F.sum("dl").alias("toks")).collect()
+    brows = docs.groupBy("bucket").agg(
+        F.count("*").alias("nd"), F.sum("dl").alias("toks"), F.max("doc_id").alias("mx")
+    ).collect()
     per_bucket = {int(r["bucket"]): (int(r["nd"]), int(r["toks"] or 0)) for r in brows}
     n_docs = sum(nd for nd, _ in per_bucket.values())
     total_toks = sum(tk for _, tk in per_bucket.values())
-    avgdl = (total_toks / n_docs) if n_docs else 0.0
-    catalog.write(
-        spark.createDataFrame([(n_docs, avgdl, K1, B)], "n_docs long, avgdl double, k1 double, b double"),
-        "stats_global",
-    )
+    max_doc_id = max((int(r["mx"]) for r in brows if r["mx"] is not None), default=-1)
+    avgdl = write_stats_global(catalog, n_docs, total_toks, max_doc_id)
     _tr("global_stats")
 
     metrics = {"n_docs": n_docs, "avgdl": avgdl, "buckets": {}}
@@ -397,10 +434,8 @@ def build_index(
             metrics["buckets"][b] = "resumed"
             continue
         t0 = time.time()
-        if not catalog.use_iceberg:
-            # discard any partial files from a killed run of this bucket
-            shutil.rmtree(os.path.join(catalog.path("postings"), f"bucket={b}"), ignore_errors=True)
-            shutil.rmtree(os.path.join(catalog.path("stats"), f"bucket={b}"), ignore_errors=True)
+        # partial files from a killed run of this bucket are discarded by the
+        # mode("overwrite") bucket-directory writes in write_bucket_postings
         bucket_docs = docs.where(F.col("bucket") == b)
         runs = posting_runs(bucket_docs, min_parallelism=nparts).withColumn(
             "doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS)
@@ -416,14 +451,9 @@ def build_index(
             .sortWithinPartitions("term", "doc_id")
             .drop("doc_group")
         )
-        blocks = encode_blocks(sorted_runs, avgdl).withColumn("bucket", F.lit(b))
-        if catalog.use_iceberg:
-            catalog.append(blocks, "postings")
-        else:
-            blocks.write.mode("append").partitionBy("bucket").parquet(catalog.path("postings"))
-        _tr(f"bucket{b}_postings")
-        write_bucket_stats(catalog, b, nparts)
-        _tr(f"bucket{b}_stats")
+        blocks = encode_blocks(sorted_runs, avgdl)
+        write_bucket_postings(catalog, blocks, b, nparts)
+        _tr(f"bucket{b}_postings_stats")
         nd, toks = per_bucket.get(b, (0, 0))
         wall_ms = int((time.time() - t0) * 1000)
         lineage = json.dumps(
@@ -441,26 +471,44 @@ def build_index(
     return metrics
 
 
-def write_bucket_stats(catalog: Catalog, bucket: int, nparts: int) -> None:
-    """Append per-term df rows for ONE bucket, derived from that bucket's
-    just-written postings (a bucket-pruned directory read — never a full
-    postings rescan, so incremental appends stay O(new bucket), not O(index)).
+def write_bucket_postings(catalog: Catalog, blocks: DataFrame, bucket: int, nparts: int) -> None:
+    """Persist ONE bucket's block rows plus its derived per-term df stats.
 
-    ``stats`` is additive: rows are (term, df, bucket) and readers aggregate
-    ``sum(df)`` over their (tiny, IN-list-pruned) term set — the same
-    append-only contract as ``postings``, so resume/append/delete all treat
-    the bucket as the atomic rewrite unit for stats too. coalesce (narrow) +
-    within-partition sort keeps per-file term order for row-group pruning.
+    The bucket DIRECTORY is the atomic commit/rewrite unit: blocks land under
+    ``postings/bucket=B/tp=T`` (term-prefix subdirectories, see
+    TERM_PREFIX_PARTITIONS) via an overwrite of that bucket's directory only —
+    bucket writes never share a ``_temporary`` staging dir (safe to overlap)
+    and delete/compact swap whole directories. ``stats`` follows the same
+    layout with rows (term, df); readers aggregate ``sum(df)`` over their
+    (tiny, IN-list + tp-pruned) term set.
+
+    ``blocks`` is persisted for the duration so the stats rows aggregate from
+    the in-memory frame instead of re-reading the just-written parquet — one
+    fewer full bucket scan per commit. Explicit (tp, term) within-partition
+    sorts keep per-file term runs contiguous for parquet row-group min/max
+    pruning (the dynamic-partition writer only guarantees clustering by tp).
     """
-    bstats = (
-        catalog.read("postings")
-        .where(F.col("bucket") == bucket)
-        .groupBy("term")
-        .agg(F.sum("n_docs").cast("long").alias("df"))
-        .withColumn("bucket", F.lit(bucket))
-    )
-    bstats = bstats.coalesce(max(1, nparts // 4)).sortWithinPartitions("term")
-    if catalog.use_iceberg:
-        catalog.append(bstats, "stats")
-    else:
-        bstats.write.mode("append").partitionBy("bucket").parquet(catalog.path("stats"))
+    blocks = blocks.withColumn("tp", term_prefix_expr()).persist()
+    try:
+        out = blocks.sortWithinPartitions("tp", "term", "first_doc")
+        if catalog.use_iceberg:
+            catalog.append(out.withColumn("bucket", F.lit(bucket)), "postings")
+        else:
+            out.write.mode("overwrite").partitionBy("tp").parquet(
+                os.path.join(catalog.path("postings"), f"bucket={bucket}")
+            )
+        bstats = (
+            blocks.groupBy("term")
+            .agg(F.sum("n_docs").cast("long").alias("df"))
+            .withColumn("tp", term_prefix_expr())
+            .coalesce(max(1, nparts // 4))
+            .sortWithinPartitions("tp", "term")
+        )
+        if catalog.use_iceberg:
+            catalog.append(bstats.withColumn("bucket", F.lit(bucket)), "stats")
+        else:
+            bstats.write.mode("overwrite").partitionBy("tp").parquet(
+                os.path.join(catalog.path("stats"), f"bucket={bucket}")
+            )
+    finally:
+        blocks.unpersist()

@@ -31,14 +31,48 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: 
     )
 
 
-def incremental_index_update(pages_stream: DataFrame, catalog, build_fn, checkpoint_dir: str, next_bucket_start: int = 1_000_000):
+def incremental_index_update(
+    pages_stream: DataFrame,
+    catalog,
+    build_fn,
+    checkpoint_dir: str,
+    next_bucket_start: int = 1_000_000,
+    compact_every: int | None = None,
+    compact_fn=None,
+):
     """Maintain the inverted index under a stream of new pages.
 
     foreachBatch: anti-join the micro-batch against indexed urls (J2, the
     reference's cross-system anti-join done as one Spark op), then run the
     batch build for the novel rows into a fresh bucket id. Streaming
     checkpointing + the engine's per-bucket manifest give exactly-once.
+
+    ``compact_every``: every N appended micro-batch buckets, merge them into
+    one fresh bucket via ``compact_fn(buckets, target_bucket)`` (defaults to
+    operators.maintenance.compact_buckets) — continuous ingest otherwise
+    accretes one tiny bucket per micro-batch and erodes scan pruning.
+    Compaction targets count DOWN from ``next_bucket_start - 1`` while batch
+    buckets count up from ``next_bucket_start``, so the two id sequences
+    never collide. Compaction is rank-neutral (doc ids unchanged) and
+    crash-safe (bucket-directory swap + checkpoint row), so running it inside
+    foreachBatch keeps the exactly-once story.
     """
+
+    created: list[int] = []
+
+    def next_target() -> int:
+        # restart-safe: targets are the ids below next_bucket_start already
+        # consumed by earlier compactions (recorded in the checkpoint
+        # manifest), so a resumed stream keeps descending instead of
+        # re-proposing a used id
+        from ..operators.incremental import _checkpointed_buckets
+
+        # the target range is [next_bucket_start/2, next_bucket_start): far
+        # above any initial batch-build bucket id, strictly below the
+        # micro-batch range
+        used = [b for b in _checkpointed_buckets(catalog) if next_bucket_start // 2 <= b < next_bucket_start]
+        floor = min(used) if used else next_bucket_start
+        return floor - 1
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if catalog.exists("docs"):
@@ -46,7 +80,19 @@ def incremental_index_update(pages_stream: DataFrame, catalog, build_fn, checkpo
             batch_df = batch_df.join(seen, "url", "left_anti")
         if batch_df.isEmpty():
             return
-        build_fn(batch_df, bucket=next_bucket_start + batch_id)
+        bucket = next_bucket_start + batch_id
+        build_fn(batch_df, bucket=bucket)
+        if compact_every:
+            created.append(bucket)
+            if len(created) >= compact_every:
+                target = next_target()
+                if compact_fn is not None:
+                    compact_fn(list(created), target)
+                else:
+                    from ..operators.maintenance import compact_buckets
+
+                    compact_buckets(catalog.spark, catalog, list(created), target)
+                created.clear()
 
     return (
         pages_stream.writeStream.foreachBatch(process)

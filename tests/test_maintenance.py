@@ -120,6 +120,51 @@ def test_compact_buckets_preserves_ranking(spark, corpus, tmp_path_factory):
         compact_buckets(spark, cat, [0], target_bucket=2000)
 
 
+def test_delete_and_append_update_stats_incrementally(spark, corpus, tmp_path_factory):
+    """Global stats after delete/append equal a from-scratch rebuild's even
+    though neither op runs a full-corpus aggregate anymore (VERDICT r2
+    what's-wrong #1): (N, sum dl) maintained by bucket-scoped deltas,
+    max_doc_id never reused."""
+    from information_retrieval_images_spark.operators.incremental import append_bucket
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("incstats")))
+    a, b = corpus.iloc[:150], corpus.iloc[150:]
+    build_index(spark, spark.createDataFrame(a), cat, n_buckets=2)
+    en_a = a[a["lang"] == "en"]
+    victims = en_a["url"].iloc[[2, 5]].tolist()
+    delete_docs(spark, cat, victims)
+    max_after_delete = cat.read("stats_global").collect()[0]["max_doc_id"]
+    append_bucket(spark, spark.createDataFrame(b), cat, bucket=7000)
+
+    post = pd.concat([a[~a["url"].isin(victims)], b], ignore_index=True)
+    idx = build_oracle_index(post, lang="en")
+    g = cat.read("stats_global").collect()[0]
+    assert g["n_docs"] == idx.n_docs
+    assert math.isclose(g["avgdl"], idx.avgdl, rel_tol=1e-12)
+    assert g["sum_dl"] == cat.read("docs").agg(F.sum("dl")).collect()[0][0]
+    # appended ids start strictly after the pre-delete max (no id reuse)
+    min_new = cat.read("docs").where(F.col("bucket") == 7000).agg(F.min("doc_id")).collect()[0][0]
+    assert min_new > max_after_delete
+    _assert_matches_oracle(spark, cat, post)
+
+
+def test_upsert_lang_mismatch_keeps_old_version(spark, corpus, tmp_path_factory):
+    """Regression (ADVICE r2): an upsert whose new version fails the lang
+    filter must NOT delete the old version — the old doc stays indexed."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("upslang")))
+    build_index(spark, spark.createDataFrame(corpus), cat, n_buckets=2)
+    en = corpus[corpus["lang"] == "en"]
+    victim_url = en["url"].iloc[3]
+    new_version = en.iloc[[3]].copy()
+    new_version["lang"] = "de"  # fails the lang="en" filter
+
+    res = upsert_docs(spark, spark.createDataFrame(new_version), cat, bucket=6000)
+    assert res["n_replaced"] == 0 and res["n_new"] == 0
+    assert cat.read("docs").where(F.col("url") == victim_url).count() == 1
+    # index still ranks exactly as the untouched corpus
+    _assert_matches_oracle(spark, cat, corpus)
+
+
 def test_upsert_replaces_content(spark, corpus, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("ups")))
     build_index(spark, spark.createDataFrame(corpus), cat, n_buckets=2)
