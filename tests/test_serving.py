@@ -1,0 +1,63 @@
+"""Serving path (reference server.py:128-177): SearchSession warm queries +
+the stdlib HTTP wrapper, rank-identical to the engines."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from information_retrieval_images_spark import fixtures
+from information_retrieval_images_spark.catalog import Catalog
+from information_retrieval_images_spark.operators.index_build import build_index
+from information_retrieval_images_spark.oracle import build_oracle_index, oracle_topk
+from information_retrieval_images_spark.serving import SearchSession, make_http_server
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    pages = fixtures.make_pages_pandas(120)
+    wh = str(tmp_path_factory.mktemp("serve_wh"))
+    cat = Catalog(spark, wh)
+    build_index(spark, spark.createDataFrame(pages), cat, n_buckets=1)
+    idx = build_oracle_index(pages, lang="en")
+    return SearchSession(spark, wh), idx
+
+
+def test_search_session_matches_oracle(served):
+    session, idx = served
+    q = "term000000 term000003"
+    got = session.search(q, k=5)
+    want = oracle_topk(idx, q, k=5)
+    assert [r["url"] for r in got] == [url for _, url, _ in want]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    # warm repeat: same results, caches hot (no assertion on timing — the
+    # cache behavior itself is pinned in test_bm25_e2e)
+    assert session.search(q, k=5) == got
+
+
+def test_http_search_endpoint(served):
+    session, idx = served
+    srv = make_http_server(session, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        q = "term000001"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/search?q={q}&k=3") as resp:
+            assert resp.status == 200
+            body = json.loads(resp.read())
+        assert body["query"] == q and body["k"] == 3
+        want = oracle_topk(idx, q, k=3)
+        assert [r["url"] for r in body["results"]] == [url for _, url, _ in want]
+        # error shapes
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/search")
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
