@@ -102,9 +102,9 @@ def main() -> None:
         # invocations — interactive latency, dominated by per-job overhead at
         # this SF rather than posting volume
         for row in single_rows:
-            q1 = spark.createDataFrame([tuple(row)], "query_id int, query_text string, k int")
+            # list batch = the serving path (zero query-side collect jobs)
             t0 = time.time()
-            bm25_topk_wand(spark, cat, q1).count()
+            bm25_topk_wand(spark, cat, [tuple(row)]).count()
             record(f"single_{row.query_id}", time.time() - t0)
         for name in gate_names:
             fn = entry_queries.QUERIES[name]

@@ -46,10 +46,10 @@ class SearchSession:
         """One query -> ranked [{rank, doc_id, url, bm25_score}, ...]."""
         qid = self._next_qid
         self._next_qid += 1
-        qdf = self.spark.createDataFrame(
-            [(qid, query_text, int(k))], "query_id int, query_text string, k int"
-        )
-        rows = attach_urls(self.engine(self.spark, self.catalog, qdf), self.catalog).collect()
+        # pass the batch as a plain list: the engine normalizes driver-side,
+        # so no LocalTableScan collect job is spent on the query row itself
+        qbatch = [(qid, query_text, int(k))]
+        rows = attach_urls(self.engine(self.spark, self.catalog, qbatch), self.catalog).collect()
         return [
             {
                 "rank": int(r["rank"]),

@@ -66,10 +66,16 @@ qdf = spark.createDataFrame(fixtures.make_queries_pandas())
 tq = time.time()
 bm25_topk_wand(spark, cat, qdf).count()
 qsec = time.time() - tq
+spark.stop()
+# total CPU seconds burned by the JVM + python workers (rolls up through the
+# reaping chain once the JVM exits): if cpu_s is ~constant across widths, the
+# plan is work-conserving and any wall-clock gap is host scheduling, not code
+import resource
+ru = resource.getrusage(resource.RUSAGE_CHILDREN)
 print("RESULT " + json.dumps({{"cores": {cores}, "build_s": round(dt, 2),
     "docs": m["n_docs"], "docs_per_sec": round(m["n_docs"] / dt, 1),
-    "query_batch_s": round(qsec, 2)}}))
-spark.stop()
+    "query_batch_s": round(qsec, 2),
+    "cpu_s_children": round(ru.ru_utime + ru.ru_stime, 1)}}))
 shutil.rmtree("/dev/shm/ir_scale_wh_{cores}", ignore_errors=True)
 shutil.rmtree("/dev/shm/ir_scale_tmp_{cores}", ignore_errors=True)
 """

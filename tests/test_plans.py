@@ -86,8 +86,7 @@ def test_query_path_plans_tp_partition_filter(spark, tmp_path_factory):
 
     cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
     build_index(spark, spark.createDataFrame(fixtures.make_pages_pandas(60)), cat, n_buckets=1)
-    qdf = spark.createDataFrame([(0, "term000000 term000007", 5)], "query_id int, query_text string, k int")
-    blocks, _, _, _ = _matched_blocks(cat, qdf)
+    blocks, _, _, _ = _matched_blocks(spark, cat, [(0, "term000000 term000007", 5)])
     plan = plans.formatted_plan(blocks)
     assert any("PartitionFilters" in line and "tp" in line for line in plan.splitlines())
 
