@@ -16,11 +16,13 @@ BM25 (k1=1.2, b=0.75). Two engines share the same result contract
   bound, so no true top-k member is ever pruned.
 
 Scale notes (100 TB): the query-term set is tiny -> broadcast; the postings
-scan is pruned by an IN-list predicate on ``term`` (parquet/Iceberg min-max
-on the sort column skips row groups). The only shuffles are the candidate
-aggregation and the final global top-k (TakeOrderedAndProject). For WAND,
-``tasks_per_query`` splits a query's doc-groups across executors so a
-head-term query does not serialize on one task.
+scan is pruned at the directory level by the term-prefix (tp) partition
+filter and at the row-group level by the pushed ``term`` IN-list (min-max on
+the sort column). The only shuffles are the per-task candidate routing and
+(when any query fans out past one task) the global rank window; results are
+NOT globally sorted — the contract is the (query_id, rank) key. For WAND,
+``tasks_per_query``/``postings_per_task`` split a query's doc-groups across
+executors so a head-term query does not serialize on one task.
 """
 
 from __future__ import annotations
@@ -44,9 +46,6 @@ RESULT_SCHEMA = "query_id int, rank int, doc_id long, bm25_score double"
 
 MAX_QUERY_ROWS = 100_000
 MAX_QUERY_TERMS = 100_000
-
-
-QueryBatch = "DataFrame | pd.DataFrame | list[tuple[int, str, int]]"
 
 
 def _query_rows(queries) -> list[tuple[int, str, int]]:
