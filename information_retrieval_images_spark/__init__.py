@@ -33,3 +33,12 @@ __version__ = "0.1.0"
 K1 = 1.2
 B = 0.75
 BLOCK_SIZE = 128
+
+# Index on-disk format version, recorded in stats_global and checked by every
+# reader: bump whenever the physical layout changes incompatibly. History:
+#   1  r1: per-posting (docs/tfs/dls) varint blocks
+#   2  r2: + per-block (max_tf, min_dl) bounds
+#   3  r3: + term-prefix (tp) partition dirs, incremental stats_global
+#   4  r4: per-posting dls_enc removed (doclens sidecar per (bucket,
+#      doc_group)); p_logical recorded as a format parameter
+INDEX_FORMAT = 4

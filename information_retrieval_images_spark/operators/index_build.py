@@ -47,11 +47,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import BLOCK_SIZE, K1, B
+from .. import BLOCK_SIZE, INDEX_FORMAT, K1, B
 from ..catalog import Catalog
 from ..textproc import (
     P_LOGICAL,
     bm25_tf_norm,
+    doc_len_expr,
+    extract_text_expr,
     extract_text_series,
     term_frequencies_batch,
     tokenize_series,
@@ -70,11 +72,26 @@ RUNS_SCHEMA = "term string, doc_id long, tf int, dl int"
 # tf_norm(max_tf, min_dl, avgdl_now) >= tf_norm(tf_i, dl_i, avgdl_now) for
 # every posting in the block. This keeps pruning exact after incremental
 # appends shift collection statistics (operators.incremental).
+#
+# Format v4: blocks carry NO per-posting doc lengths. A doc's dl used to be
+# repeated in every term's block that contains the doc (~hundreds of copies
+# for a typical web page — measured ~45% of total posting payload bytes);
+# it now lives ONCE per (bucket, doc_group) in the ``doclens`` sidecar
+# (DOCLENS_SCHEMA below), loaded by the decode kernels per doc-group.
 POSTINGS_SCHEMA = (
     "term string, first_doc long, last_doc long, n_docs int, "
     "max_tf_norm double, max_tf int, min_dl int, "
-    "docs_enc binary, tfs_enc binary, dls_enc binary"
+    "docs_enc binary, tfs_enc binary"
 )
+# dl sidecar: one row per (bucket, doc_group) — ids_enc is the group's sorted
+# doc ids as delta-gap varints (first gap absolute), dls_enc their doc
+# lengths as varints, positionally aligned. Rewritten with its bucket by
+# every bucket rewrite (build/append/delete/compact). Stored as plain sorted
+# parquet under <root>/doclens/bucket=B even when the index tables are
+# Iceberg: the decode kernels read it executor-side via pyarrow with
+# (bucket, doc_group) pushdown — a point-lookup side table, not a scan input
+# Catalyst ever plans over.
+DOCLENS_SCHEMA = "doc_group long, ids_enc binary, dls_enc binary"
 CHECKPOINT_SCHEMA = "bucket int, status string, n_docs long, n_postings long, wall_ms long, lineage string"
 # sum_dl and max_doc_id make every maintenance op O(touched buckets): append/
 # delete update (N, sum dl) by bucket-scoped deltas instead of re-aggregating
@@ -82,7 +99,14 @@ CHECKPOINT_SCHEMA = "bucket int, status string, n_docs long, n_postings long, wa
 # job when allocating the next append's id range (deletes never lower it, so
 # "id > max_doc_id" <=> "not yet reflected in stats_global" — the invariant
 # crash-repair uses to decide whether orphaned docs were already counted).
-GLOBAL_STATS_SCHEMA = "n_docs long, avgdl double, k1 double, b double, sum_dl long, max_doc_id long"
+# p_logical pins the doc-id assignment modulus PER INDEX (ids derive from it;
+# see textproc doc-id contract) and format is the on-disk layout version every
+# reader checks (Catalog.global_doc_stats raises a clear rebuild-required
+# error on mismatch instead of a field-not-found crash — ADVICE r3 #4).
+GLOBAL_STATS_SCHEMA = (
+    "n_docs long, avgdl double, k1 double, b double, sum_dl long, max_doc_id long, "
+    "p_logical int, format int"
+)
 
 # Second partition dimension on postings/stats: tp = crc32(term) % TP_N.
 # Directory layout bucket=B/tp=T means a k-term query prunes to <= k of the
@@ -105,12 +129,26 @@ def term_prefix(term: str) -> int:
     return zlib.crc32(term.encode("utf-8")) % TERM_PREFIX_PARTITIONS
 
 
-def write_stats_global(catalog: Catalog, n_docs: int, sum_dl: int, max_doc_id: int) -> float:
+def write_stats_global(
+    catalog: Catalog, n_docs: int, sum_dl: int, max_doc_id: int, p_logical: int
+) -> float:
     """Overwrite the single-row global stats table; returns the new avgdl."""
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     catalog.write(
         catalog.spark.createDataFrame(
-            [(int(n_docs), float(avgdl), K1, B, int(sum_dl), int(max_doc_id))], GLOBAL_STATS_SCHEMA
+            [
+                (
+                    int(n_docs),
+                    float(avgdl),
+                    K1,
+                    B,
+                    int(sum_dl),
+                    int(max_doc_id),
+                    int(p_logical),
+                    INDEX_FORMAT,
+                )
+            ],
+            GLOBAL_STATS_SCHEMA,
         ),
         "stats_global",
     )
@@ -120,9 +158,9 @@ def write_stats_global(catalog: Catalog, n_docs: int, sum_dl: int, max_doc_id: i
 # --- Step 0: dense doc_id assignment + extraction -----------------------------
 
 
-def _group_expr():
+def _group_expr(p_logical: int = P_LOGICAL):
     """url_group column — must match textproc.url_group exactly."""
-    return F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long") % P_LOGICAL
+    return F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long") % p_logical
 
 
 def assign_doc_ids(
@@ -131,6 +169,8 @@ def assign_doc_ids(
     num_partitions: int | None = None,
     start_id: int = 0,
     fixed_bucket: int | None = None,
+    p_logical: int = P_LOGICAL,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Deterministic dense doc ids + extracted text, with NO corpus persist
     and NO sampled shuffle.
@@ -163,19 +203,52 @@ def assign_doc_ids(
     group's payloads in pandas memory: at 10^9 docs a url_group is ~10^6
     docs, gigabytes per worker.) The counter dict is bounded by the number
     of groups per partition (<= P_LOGICAL).
+
+    ``engine``: "arrow" (default) runs extraction + assignment in pandas/
+    Arrow UDFs — the normative contract path. "sql" computes the SAME ids
+    and the SAME text with zero Python workers: extraction via the
+    whole-stage-codegen replica (textproc.extract_text_expr, proven
+    byte-identical on the test battery) projected scan-side before the
+    shuffle, and id assignment as offset[g] + row_number() over a
+    (partitionBy g, orderBy url) window — the same hash shuffle + in-
+    partition sort the arrow path performs, with identical determinism.
     """
     spark = pages.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
-    counts = pages.select(_group_expr().alias("g")).groupBy("g").count().collect()
+    counts = pages.select(_group_expr(p_logical).alias("g")).groupBy("g").count().collect()
     by_g = {int(r["g"]): int(r["count"]) for r in counts}
     offsets = {}
     acc = 0
-    for g in range(P_LOGICAL):
+    for g in range(p_logical):
         offsets[g] = acc
         acc += by_g.get(g, 0)
     boff = spark.sparkContext.broadcast(offsets)
 
-    src = pages.select("url", "html").withColumn("g", _group_expr())
+    src = pages.select("url", "html").withColumn("g", _group_expr(p_logical))
+    if engine == "sql":
+        from pyspark.sql import Window
+
+        ext = src.select(
+            "g", "url", extract_text_expr(F.col("html")).alias("text")
+        ).withColumn("dl", doc_len_expr(F.col("text")))
+        off_df = spark.createDataFrame(
+            [(g, o) for g, o in offsets.items()], "g long, goff long"
+        )
+        w = Window.partitionBy("g").orderBy("url")
+        assigned = (
+            ext.join(F.broadcast(off_df), "g")
+            .withColumn(
+                "doc_id",
+                (F.row_number().over(w) - 1).cast("long") + F.col("goff") + F.lit(int(start_id)),
+            )
+            .withColumn(
+                "bucket",
+                F.lit(int(fixed_bucket)).cast("int")
+                if fixed_bucket is not None
+                else (F.col("doc_id") % n_buckets).cast("int"),
+            )
+        )
+        return assigned.select("doc_id", "url", "dl", "text", "bucket")
     if src.rdd.getNumPartitions() < nparts:
         src = src.repartition(nparts)
 
@@ -260,6 +333,28 @@ def posting_runs(docs: DataFrame, min_parallelism: int | None = None) -> DataFra
     return src.mapInPandas(gen, schema=RUNS_SCHEMA)
 
 
+def posting_runs_sql(docs: DataFrame) -> DataFrame:
+    """JVM run generation: the same (term, doc_id, tf, dl) rows as
+    :func:`posting_runs` with zero Python workers — explode the analyzer
+    (lower + single-space split of the collapsed text) and count (doc, term)
+    pairs with a hash aggregate (partial map-side combine, so the shuffle
+    carries ~unique pairs, the same volume the pandas kernel emits).
+
+    Analyzer parity: extracted text is single-space collapsed and trimmed,
+    so splitting on one space IS Python's str.split(); empty text explodes
+    to one "" token which is filtered (str.split() of "" is [])."""
+    toks = docs.select(
+        "doc_id",
+        "dl",
+        F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("term"),
+    ).where(F.col("term") != "")
+    return (
+        toks.groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("term", "doc_id", "tf", F.col("dl").cast("int").alias("dl"))
+    )
+
+
 # --- Block encoder --------------------------------------------------------------
 
 
@@ -306,7 +401,6 @@ def _encode_partition_frame(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
             "min_dl": np.minimum.reduceat(dl, bstarts).astype("int32"),
             "docs_enc": segmented_varint_encode(gaps.astype(np.uint64), bstarts, bends),
             "tfs_enc": segmented_varint_encode(tf.astype(np.uint64), bstarts, bends),
-            "dls_enc": segmented_varint_encode(dl.astype(np.uint64), bstarts, bends),
         }
     )
 
@@ -366,6 +460,8 @@ def build_index(
     n_buckets: int = 4,
     num_term_partitions: int | None = None,
     resume: bool = False,
+    p_logical: int | None = None,
+    engine: str = "arrow",
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
 
@@ -373,6 +469,21 @@ def build_index(
     followed by a checkpoint row; on resume, buckets present in the manifest
     are skipped (left-anti semantics) and partially-written buckets are
     discarded and rebuilt. Kill at any point -> identical final index.
+
+    ``p_logical`` (default textproc.P_LOGICAL) is the doc-id assignment
+    modulus — an index-format parameter recorded in stats_global and every
+    checkpoint lineage row. Doc ids derive from it, so a resume under a
+    DIFFERENT value is refused (the rebuilt buckets would renumber documents
+    relative to the already-committed ones). Sizing at scale: see the doc-id
+    contract in textproc (group ~= <=512 MB of extracted text).
+
+    ``engine``: "arrow" (default) — extraction/tokenization in vectorized
+    pandas UDFs, the input-hint contract path. "sql" — the whole pipeline up
+    to block encoding runs JVM-side (extract_text_expr + posting_runs_sql +
+    window id assignment): identical output index, proven bit-identical in
+    tests/test_sql_engine.py, with only the block encoder left in Python.
+    Prefer "sql" where Python-worker throughput is the bottleneck — built-in
+    expressions are the fast path, UDFs the slow one.
     """
     t_start = time.time()
     trace = os.environ.get("IR_TRACE") == "1"
@@ -394,9 +505,21 @@ def build_index(
     done: set[int] = set()
     if resume and catalog.exists("checkpoints"):
         done = {r["bucket"] for r in catalog.read("checkpoints").select("bucket").distinct().collect()}
+        if catalog.exists("stats_global"):
+            pinned = catalog.p_logical()
+            if p_logical is not None and int(p_logical) != pinned:
+                raise ValueError(
+                    f"p_logical mismatch: index was built with {pinned}, resume "
+                    f"requested {p_logical} — doc ids derive from p_logical, so "
+                    "a mixed-modulus index would renumber documents; rebuild "
+                    "from scratch to change it"
+                )
+            p_logical = pinned
     else:
-        for t in ("docs", "postings", "checkpoints", "stats", "stats_global"):
+        for t in ("docs", "postings", "checkpoints", "stats", "stats_global", "doclens", "blooms"):
             catalog.drop(t)
+    if p_logical is None:
+        p_logical = P_LOGICAL
 
     # Step 0: docs (itself checkpoint #-1: reused verbatim on resume so doc
     # ids are stable across kill/restart). The extracted frame stays cached
@@ -404,7 +527,9 @@ def build_index(
     # reads the cache instead of re-scanning the docs parquet.
     docs_cached = None
     if not (resume and catalog.exists("docs")):
-        docs = assign_doc_ids(pages, n_buckets=n_buckets, num_partitions=nparts)
+        docs = assign_doc_ids(
+            pages, n_buckets=n_buckets, num_partitions=nparts, p_logical=p_logical, engine=engine
+        )
         docs_cached = docs.persist()
         # directory-partition by bucket (each of the nparts tasks writes one
         # file per bucket): bucket-filtered reads prune directories AND keep
@@ -425,7 +550,7 @@ def build_index(
     n_docs = sum(nd for nd, _ in per_bucket.values())
     total_toks = sum(tk for _, tk in per_bucket.values())
     max_doc_id = max((int(r["mx"]) for r in brows if r["mx"] is not None), default=-1)
-    avgdl = write_stats_global(catalog, n_docs, total_toks, max_doc_id)
+    avgdl = write_stats_global(catalog, n_docs, total_toks, max_doc_id, p_logical)
     _tr("global_stats")
 
     metrics = {"n_docs": n_docs, "avgdl": avgdl, "buckets": {}}
@@ -437,9 +562,11 @@ def build_index(
         # partial files from a killed run of this bucket are discarded by the
         # mode("overwrite") bucket-directory writes in write_bucket_postings
         bucket_docs = docs.where(F.col("bucket") == b)
-        runs = posting_runs(bucket_docs, min_parallelism=nparts).withColumn(
-            "doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS)
-        )
+        runs = (
+            posting_runs_sql(bucket_docs)
+            if engine == "sql"
+            else posting_runs(bucket_docs, min_parallelism=nparts)
+        ).withColumn("doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS))
         # HASH repartition on (term, doc_group): same co-location and head-term
         # splitting as a range shuffle, but fully deterministic with NO
         # boundary-sampling pass (a range shuffle would re-execute — or force
@@ -453,11 +580,24 @@ def build_index(
         )
         blocks = encode_blocks(sorted_runs, avgdl)
         write_bucket_postings(catalog, blocks, b, nparts)
+        write_bucket_doclens(catalog, bucket_docs, b)
+        from ..blooms import write_bucket_bloom
+
+        write_bucket_bloom(catalog, bucket_docs, b)
         _tr(f"bucket{b}_postings_stats")
         nd, toks = per_bucket.get(b, (0, 0))
         wall_ms = int((time.time() - t0) * 1000)
         lineage = json.dumps(
-            {"job": "build_index", "bucket": b, "n_term_partitions": nparts, "avgdl": avgdl, "k1": K1, "b": B}
+            {
+                "job": "build_index",
+                "bucket": b,
+                "n_term_partitions": nparts,
+                "avgdl": avgdl,
+                "k1": K1,
+                "b": B,
+                "p_logical": int(p_logical),
+                "format": INDEX_FORMAT,
+            }
         )
         ck = spark.createDataFrame([(b, "done", nd, toks, wall_ms, lineage)], CHECKPOINT_SCHEMA)
         catalog.append(ck, "checkpoints")
@@ -512,3 +652,43 @@ def write_bucket_postings(catalog: Catalog, blocks: DataFrame, bucket: int, npar
             )
     finally:
         blocks.unpersist()
+        catalog.invalidate_reads()  # direct parquet writes bypass Catalog.write
+
+
+def write_bucket_doclens(catalog: Catalog, bucket_docs: DataFrame, bucket: int) -> None:
+    """Persist ONE bucket's dl sidecar (DOCLENS_SCHEMA): per doc_group, the
+    sorted doc ids (delta-gap varint) and their doc lengths (varint).
+
+    Rewritten as part of every bucket rewrite, next to the bucket's postings.
+    Storage is O(docs) instead of the old O(postings) per-posting dls_enc —
+    a doc's dl was repeated once per distinct term in the doc (~45% of
+    posting payload bytes on the fixture corpus). One overwrite of
+    doclens/bucket=B; deliberately plain parquet in BOTH catalog modes (see
+    DOCLENS_SCHEMA comment), sorted by doc_group for row-group min/max
+    pruning by the kernels' pyarrow point reads.
+    """
+    from ..codec import varint_encode
+
+    src = bucket_docs.select(
+        F.shiftright(F.col("doc_id"), DOC_GROUP_BITS).alias("doc_group"), "doc_id", "dl"
+    )
+
+    def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        gaps = ids.copy()
+        gaps[1:] -= ids[:-1]
+        return pd.DataFrame(
+            {
+                "doc_group": [int(key[0])],
+                "ids_enc": [varint_encode(gaps.astype(np.uint64))],
+                "dls_enc": [varint_encode(pdf["dl"].to_numpy(np.uint64))],
+            }
+        )
+
+    out = (
+        src.groupBy("doc_group")
+        .applyInPandas(enc, schema=DOCLENS_SCHEMA)
+        .sortWithinPartitions("doc_group")
+    )
+    out.write.mode("overwrite").parquet(os.path.join(catalog.path("doclens"), f"bucket={bucket}"))

@@ -28,6 +28,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,14 +58,31 @@ def delete_docs(
     """
     t0 = time.time()
     nparts = num_term_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Bloom pruning (blooms.py): when the urls are driver-known (list), the
+    # per-bucket url blooms decide which buckets might contain them BEFORE
+    # any Spark job — a delete of absent urls runs zero jobs, and a real
+    # delete scans only candidate buckets instead of the whole docs table.
+    # DataFrame-shaped url sets (unknown driver-side, e.g. upsert's
+    # distinct-url frame) skip the probe and take the full locate scan.
+    bloom_cands: list[int] | None = None
+    if not isinstance(urls, DataFrame):
+        blooms = catalog.bucket_blooms()
+        if blooms:  # no sidecar at all (legacy index) -> full locate scan
+            from ..blooms import candidate_buckets
+            from .incremental import _docs_buckets
+
+            url_list = list(dict.fromkeys(urls))
+            bloom_cands = candidate_buckets(blooms, _docs_buckets(catalog), url_list)
+            if not bloom_cands:
+                return {"n_deleted": 0, "buckets": [], "bloom_pruned": True}
     url_df = _as_url_df(spark, urls)
     docs = catalog.read("docs")
+    if bloom_cands is not None:
+        docs = docs.where(F.col("bucket").isin(bloom_cands))
     # ONE job locates the urls AND measures the deltas: per-bucket (count,
-    # sum dl) of the rows to delete. This is the only full-docs read in a
-    # delete, and it is column-pruned to (url, bucket, dl) — url-addressed
-    # deletes cannot avoid it without a url->bucket index (at 10^12 docs,
-    # add a per-bucket url bloom filter to the checkpoint manifest and prune
-    # this scan with it). Everything after touches ONLY the hit buckets.
+    # sum dl) of the rows to delete, column-pruned to (url, bucket, dl) and
+    # bucket-pruned by the blooms above. Everything after touches ONLY the
+    # hit buckets.
     hits = (
         docs.join(F.broadcast(url_df), "url", "left_semi")
         .groupBy("bucket")
@@ -86,9 +104,15 @@ def delete_docs(
         # one row-level DELETE; Iceberg turns it into a snapshot commit with
         # position/equality deletes, no bucket staging needed. The url set
         # rides along as a temp view (an IN-list literal would not scale to
-        # DataFrame-sized deletes).
-        url_df.createOrReplaceTempView("_ir_delete_urls")
-        spark.sql("DELETE FROM docs WHERE url IN (SELECT url FROM _ir_delete_urls)")
+        # DataFrame-sized deletes). The view name is unique per call: two
+        # concurrent delete_docs sharing one SparkSession must not stomp each
+        # other's url set between view creation and the DELETE.
+        view = f"_ir_delete_urls_{uuid.uuid4().hex}"
+        url_df.createOrReplaceTempView(view)
+        try:
+            spark.sql(f"DELETE FROM docs WHERE url IN (SELECT url FROM {view})")
+        finally:
+            spark.catalog.dropTempView(view)
     else:
         surviving = (
             docs.where(F.col("bucket").isin(buckets)).join(F.broadcast(url_df), "url", "left_anti")
@@ -106,13 +130,14 @@ def delete_docs(
             if os.path.isdir(src):  # a bucket can end up empty
                 shutil.move(src, dst)
         shutil.rmtree(stage, ignore_errors=True)
+        catalog.invalidate_reads()  # files changed before the checkpoint row lands
 
     # 2. refresh global stats by delta (max_doc_id is never lowered — id
     #    reuse would collide doc-group scoring; see append_bucket)
     from .index_build import write_stats_global
 
     n_docs = n0 - n_deleted
-    avgdl = write_stats_global(catalog, n_docs, sum0 - sum_deleted, max0)
+    avgdl = write_stats_global(catalog, n_docs, sum0 - sum_deleted, max0, catalog.p_logical())
 
     # 3. re-encode postings + stats for each affected bucket (the rewrite unit)
     for b in buckets:
@@ -166,6 +191,11 @@ def compact_buckets(
         for t in ("postings", "stats"):
             spark.sql(f"DELETE FROM {t} WHERE bucket IN ({blist})")
         spark.sql("CALL system.rewrite_data_files(table => 'docs')")
+        # the dl + bloom sidecars are plain parquet in both catalog modes
+        # (index_build.DOCLENS_SCHEMA / blooms.py) — drop the sources' dirs
+        for b in buckets:
+            shutil.rmtree(os.path.join(catalog.path("doclens"), f"bucket={b}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(catalog.path("blooms"), f"bucket={b}"), ignore_errors=True)
     else:
         moved = (
             docs.where(F.col("bucket").isin(buckets))
@@ -183,8 +213,11 @@ def compact_buckets(
             shutil.rmtree(os.path.join(catalog.path("docs"), f"bucket={b}"), ignore_errors=True)
             shutil.rmtree(os.path.join(catalog.path("postings"), f"bucket={b}"), ignore_errors=True)
             shutil.rmtree(os.path.join(catalog.path("stats"), f"bucket={b}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(catalog.path("doclens"), f"bucket={b}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(catalog.path("blooms"), f"bucket={b}"), ignore_errors=True)
         shutil.move(os.path.join(stage, f"bucket={target_bucket}"), os.path.join(catalog.path("docs"), f"bucket={target_bucket}"))
         shutil.rmtree(stage, ignore_errors=True)
+        catalog.invalidate_reads()  # files changed before the checkpoint row lands
 
     # same corpus, same N/avgdl — only the layout changed
     _, avgdl = catalog.global_query_stats()

@@ -28,17 +28,24 @@ class OracleIndex:
     postings: dict = field(default_factory=dict)  # term -> {doc_id: tf}
 
 
-def build_oracle_index(pages: pd.DataFrame, lang: str | None = "en") -> OracleIndex:
+def build_oracle_index(
+    pages: pd.DataFrame, lang: str | None = "en", p_logical: int | None = None
+) -> OracleIndex:
     """pages(url, warc_ts, html, text, lang) -> in-memory inverted index.
 
     doc_id assignment contract (engine matches exactly): dense 0..N-1 in
     ascending (url_group, url) order over the indexed subset, where
-    url_group = md5_60bit(url) % P_LOGICAL (textproc.url_sort_key) — the
+    url_group = md5_60bit(url) % p_logical (textproc.url_sort_key) — the
     engine's coordination-free id assignment replayed in pure Python.
+    ``p_logical`` must match the value the index was built with (recorded in
+    its stats_global row; default textproc.P_LOGICAL).
     """
+    from .textproc import P_LOGICAL
+
+    p = P_LOGICAL if p_logical is None else int(p_logical)
     if lang is not None:
         pages = pages[pages["lang"] == lang]
-    keys = pages["url"].map(url_sort_key)
+    keys = pages["url"].map(lambda u: url_sort_key(u, p))
     pages = pages.loc[keys.sort_values().index].reset_index(drop=True)
     idx = OracleIndex()
     postings: dict[str, dict[int, int]] = defaultdict(dict)

@@ -1,5 +1,9 @@
 """Interactive serving path: the reference's HTTP ``/search`` endpoint
-(``server.py:128-177``) re-expressed over the Spark engine.
+(``server.py:128-177``) re-expressed over the Spark engine, plus the ingest
+mutation (``/append``) mirroring the reference's ``/label-images`` /
+``/embed-text`` POST endpoints (``server.py:50-101``) — there the mutation
+path feeds new captions/embeddings into the store; here it feeds new pages
+into the index through the batch append operator.
 
 Two layers:
 
@@ -8,13 +12,18 @@ Two layers:
   (stats_global, per-term df — ``catalog.py``) stay hot across requests, so
   a repeat query costs only the pruned scoring job. This is the unit the
   latency contract is written against (bench.py's single-query p50/p95).
+  Its :meth:`SearchSession.append` wraps ``operators.incremental.
+  append_bucket`` with HTTP-ingest bucket allocation (a dedicated id range,
+  disjoint from build and streaming ranges).
 - :func:`make_http_server` — a stdlib ``http.server`` wrapper exposing
   ``GET /search?q=...&k=10`` returning the reference's response shape
-  ``{"query": ..., "results": [{"rank", "doc_id", "url", "bm25_score"}]}``.
-  Single-threaded by design: the Spark driver serializes query jobs anyway;
-  horizontal serving scale comes from running several driver replicas
-  against the same (immutable-between-commits) index tables, which the
-  read-only query path supports natively.
+  ``{"query": ..., "results": [{"rank", "doc_id", "url", "bm25_score"}]}``
+  and ``POST /append`` taking ``{"pages": [{"url", "html" (base64),
+  "lang"}, ...]}``. Single-threaded by design: the Spark driver serializes
+  query jobs anyway; horizontal serving scale comes from running several
+  driver replicas against the same (immutable-between-commits) index tables
+  — read-only replicas serve /search; ingest goes to ONE writer replica
+  (appends are serialized, operators.incremental).
 
 No new dependencies: stdlib http only. The reference's rate-limit sleep
 (``server.py:152``, sleep(4) per Gemini call) has no analogue — scoring is
@@ -23,14 +32,22 @@ local to the cluster.
 
 from __future__ import annotations
 
+import base64
 import json
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from urllib.parse import parse_qs, urlparse
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 
 from .catalog import Catalog
 from .operators.bm25 import attach_urls, bm25_topk_naive, bm25_topk_wand
+
+# HTTP-ingest buckets count up from here: disjoint from build buckets (small
+# ints), streaming micro-batch buckets (1_000_000 + batch_id) and streaming
+# compaction targets (descending below 1_000_000).
+HTTP_INGEST_BUCKET_START = 2_000_000
 
 
 class SearchSession:
@@ -60,11 +77,72 @@ class SearchSession:
             for r in sorted(rows, key=lambda r: r["rank"])
         ]
 
+    def append(self, pages: list[dict], bucket: int | None = None, lang: str | None = "en") -> dict:
+        """Ingest pages (list of {"url", "html" bytes, "lang", optional
+        "warc_ts"/"text"}) as one fresh bucket — the serving-side wrapper
+        over operators.incremental.append_bucket (anti-join dedup, doc-id
+        continuation, bucket-scoped encode, checkpoint commit all apply).
+        Returns the append metrics; queries see the new docs immediately
+        (the version-keyed metadata caches invalidate on the commit)."""
+        from .operators.incremental import _checkpointed_buckets, append_bucket
+
+        if bucket is None:
+            used = [b for b in _checkpointed_buckets(self.catalog) if b >= HTTP_INGEST_BUCKET_START]
+            bucket = (max(used) + 1) if used else HTTP_INGEST_BUCKET_START
+        pdf = pd.DataFrame(
+            {
+                "url": [p["url"] for p in pages],
+                "warc_ts": pd.Series(
+                    [p.get("warc_ts", np.datetime64("1970-01-01T00:00:00")) for p in pages],
+                    dtype="datetime64[us]",
+                ),
+                "html": [
+                    p["html"] if isinstance(p["html"], (bytes, bytearray)) else str(p["html"]).encode()
+                    for p in pages
+                ],
+                "text": [p.get("text", "") for p in pages],
+                "lang": [p.get("lang", "en") for p in pages],
+            }
+        )
+        df = self.spark.createDataFrame(
+            pdf, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        return append_bucket(self.spark, df, self.catalog, bucket, lang=lang)
+
 
 def make_http_server(session: SearchSession, host: str = "127.0.0.1", port: int = 8080) -> HTTPServer:
-    """HTTP wrapper: GET /search?q=...&k=10 (reference server.py:128-177)."""
+    """HTTP wrapper: GET /search?q=...&k=10 (reference server.py:128-177)
+    and POST /append with {"pages": [{"url", "html" base64, "lang"}, ...]}
+    (reference ingest mutations server.py:50-101)."""
 
     class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802 (stdlib API name)
+            if urlparse(self.path).path != "/append":
+                self.send_error(404, "only /append accepts POST")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                pages = payload["pages"]
+                for p in pages:
+                    p["html"] = base64.b64decode(p["html"])
+            except (KeyError, ValueError, TypeError) as e:
+                self._json(400, {"error": f"bad /append payload: {e}"})
+                return
+            try:
+                res = session.append(pages, bucket=payload.get("bucket"))
+            except Exception as e:  # surface engine errors as 500 JSON
+                self._json(500, {"error": str(e)[:500]})
+                return
+            self._json(200, {k: v for k, v in res.items() if isinstance(v, (int, float))})
         def do_GET(self):  # noqa: N802 (stdlib API name)
             u = urlparse(self.path)
             if u.path != "/search":

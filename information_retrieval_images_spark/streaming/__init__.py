@@ -56,9 +56,35 @@ def incremental_index_update(
     never collide. Compaction is rank-neutral (doc ids unchanged) and
     crash-safe (bucket-directory swap + checkpoint row), so running it inside
     foreachBatch keeps the exactly-once story.
+
+    The pending-compaction set is RECOVERED from the checkpoint manifest on
+    (re)start, not kept only in memory: micro-batch buckets appended since
+    the last compaction (ids >= next_bucket_start with a committed checkpoint
+    row but not named as a source in any compaction's lineage) re-enter the
+    accumulator, so a stream restart cannot silently strand them uncompacted
+    forever (ADVICE r3 finding #2).
     """
 
     created: list[int] = []
+    primed = [False]
+
+    def _pending_from_manifest() -> list[int]:
+        """Committed micro-batch buckets not yet folded into any compaction."""
+        if not catalog.exists("checkpoints"):
+            return []
+        import json as _json
+
+        rows = catalog.read("checkpoints").select("bucket", "lineage").collect()
+        compacted: set[int] = set()
+        for r in rows:
+            try:
+                lin = _json.loads(r["lineage"] or "{}")
+            except ValueError:
+                continue
+            if lin.get("job") == "compact_buckets":
+                compacted.update(int(b) for b in lin.get("buckets", []))
+        appended = {int(r["bucket"]) for r in rows if int(r["bucket"]) >= next_bucket_start}
+        return sorted(appended - compacted)
 
     def next_target() -> int:
         # restart-safe: targets are the ids below next_bucket_start already
@@ -74,7 +100,26 @@ def incremental_index_update(
         floor = min(used) if used else next_bucket_start
         return floor - 1
 
+    def maybe_compact() -> None:
+        if not compact_every or len(created) < compact_every:
+            return
+        target = next_target()
+        if compact_fn is not None:
+            compact_fn(list(created), target)
+        else:
+            from ..operators.maintenance import compact_buckets
+
+            compact_buckets(catalog.spark, catalog, list(created), target)
+        created.clear()
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and not primed[0]:
+            # restart recovery: fold buckets stranded by a previous run's
+            # in-memory accumulator back into the cadence, and compact
+            # immediately if the backlog already meets the cadence
+            created.extend(b for b in _pending_from_manifest() if b not in created)
+            primed[0] = True
+            maybe_compact()
         if catalog.exists("docs"):
             seen = catalog.read("docs").select("url")
             batch_df = batch_df.join(seen, "url", "left_anti")
@@ -84,15 +129,7 @@ def incremental_index_update(
         build_fn(batch_df, bucket=bucket)
         if compact_every:
             created.append(bucket)
-            if len(created) >= compact_every:
-                target = next_target()
-                if compact_fn is not None:
-                    compact_fn(list(created), target)
-                else:
-                    from ..operators.maintenance import compact_buckets
-
-                    compact_buckets(catalog.spark, catalog, list(created), target)
-                created.clear()
+            maybe_compact()
 
     return (
         pages_stream.writeStream.foreachBatch(process)

@@ -72,6 +72,59 @@ def extract_text(html: bytes | str) -> str:
     return extract_text_series(pd.Series([html]))[0]
 
 
+# --- JVM replica of the extraction kernel ------------------------------------
+# The same strip -> entity-decode -> whitespace-collapse -> trim pipeline as
+# extract_text_series, expressed with built-in (whole-stage-codegen) column
+# functions so the build's dominant kernel can run WITHOUT Python workers
+# (operators.index_build engine="sql"). Semantics notes:
+#
+# - java.util.regex vs Python re: the strip pattern adds (?U) so \b/\s use
+#   Unicode classes like Python's; the whitespace class is [\s\x1c-\x1f]
+#   because Python's str \s additionally matches the 0x1C-0x1F separators.
+# - entity decode: Python does ONE alternation pass; chained
+#   regexp_replace is equivalent IFF no replacement can create a later
+#   pattern's match. The six non-& entities are applied first (their
+#   replacements <, >, ", ', space occur in no entity literal), &amp; -> &
+#   LAST (its & output could otherwise combine into e.g. "&lt;" and be
+#   double-decoded: Python's single pass yields "&lt;" for input
+#   "&amp;lt;", and so does this ordering).
+# - decode('UTF-8') replaces malformed bytes with U+FFFD like Python's
+#   errors="replace" but may merge consecutive bad bytes into one
+#   replacement; byte-identity is therefore guaranteed for VALID UTF-8
+#   (Common-Crawl WARC payloads after charset normalization), which
+#   tests/test_sql_engine.py pins against the Python kernel.
+# extract_text_series remains the normative contract kernel (the oracle runs
+# it); the expression is an optimization proven equal on the test corpus.
+
+_J_STRIP = r"(?isU)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->|<[^>]*>"
+_J_WS = r"(?U)[\s\x1c-\x1f]+"
+_J_ENTITIES_FIRST = [(k, v) for k, v in _ENTITIES.items() if k != "&amp;"]
+
+
+def extract_text_expr(html_col):
+    """Column expression: html binary -> extracted text (JVM-side)."""
+    from pyspark.sql import functions as F
+
+    s = F.coalesce(F.decode(html_col, "UTF-8"), F.lit(""))
+    s = F.regexp_replace(s, _J_STRIP, " ")
+    for ent, rep in _J_ENTITIES_FIRST:
+        s = F.regexp_replace(s, re.escape(ent), rep)
+    s = F.regexp_replace(s, re.escape("&amp;"), "&")
+    s = F.regexp_replace(s, _J_WS, " ")
+    return F.trim(s)
+
+
+def doc_len_expr(text_col):
+    """Column expression: token count of EXTRACTED text (single-space
+    collapsed + trimmed, so a split on one space is exactly Python's
+    text.split(); empty text has zero tokens, not one empty token)."""
+    from pyspark.sql import functions as F
+
+    return F.when(F.length(text_col) == 0, F.lit(0)).otherwise(
+        F.size(F.split(text_col, " ", -1))
+    ).cast("int")
+
+
 # --- Tokenization ------------------------------------------------------------
 # Reference analyzer parity: lowercase + whitespace split (MAP.py:5-6).
 
@@ -136,26 +189,34 @@ def term_frequencies_batch(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame
 
 # --- doc-id contract ----------------------------------------------------------
 # Dense doc ids are assigned per LOGICAL url group: group = md5_60bit(url) mod
-# P_LOGICAL (a fixed constant, NOT the cluster width), ids dense in (group,
-# url) order. Fully deterministic and portable: the oracle replays it in pure
-# Python, and the same corpus gets the same ids on any cluster size. Engine
-# side, groups shuffle by hash — no range-boundary sampling, no corpus
+# p_logical (an INDEX-FORMAT PARAMETER, NOT the cluster width), ids dense in
+# (group, url) order. Fully deterministic and portable: the oracle replays it
+# in pure Python, and the same corpus gets the same ids on any cluster size.
+# Engine side, groups shuffle by hash — no range-boundary sampling, no corpus
 # persist, and the counts pass reads only the url column.
+#
+# p_logical is pinned PER INDEX (recorded in stats_global and checkpoint
+# lineage — operators.index_build): doc ids derive from it, so resuming or
+# appending under a different value would renumber documents. Sizing rule at
+# scale: each group must land whole in one shuffle partition and be sorted
+# there, so choose p_logical ~= total_extracted_text_bytes / 512 MB (e.g.
+# 10^12 docs x ~2 KB text -> p_logical ~= 4M). The default of 1024 suits
+# sandbox/test corpora; it is a per-build argument, not a constant to edit.
 
-P_LOGICAL = 1024
+P_LOGICAL = 1024  # default only — the recorded per-index value governs
 
 
-def url_group(url: str) -> int:
+def url_group(url: str, p_logical: int = P_LOGICAL) -> int:
     """Logical url group — MUST match Spark's
-    conv(substring(md5(url),1,15),16,10) % P_LOGICAL."""
+    conv(substring(md5(url),1,15),16,10) % p_logical."""
     import hashlib
 
-    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:15], 16) % P_LOGICAL
+    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:15], 16) % p_logical
 
 
-def url_sort_key(url: str) -> tuple[int, str]:
+def url_sort_key(url: str, p_logical: int = P_LOGICAL) -> tuple[int, str]:
     """Total order that defines dense doc ids: (group, url)."""
-    return (url_group(url), url)
+    return (url_group(url, p_logical), url)
 
 
 # --- BM25 math ---------------------------------------------------------------

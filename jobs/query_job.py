@@ -45,7 +45,12 @@ def main() -> None:
         raise SystemExit("one of --query / --queries-parquet is required")
 
     engine = bm25_topk_wand if args.engine == "wand" else bm25_topk_naive
-    attach_urls(engine(spark, cat, qdf), cat).show(100, truncate=False)
+    # display-only path: the engines deliberately do not globally sort (the
+    # result contract is the (query_id, rank) KEY), so order here — otherwise
+    # multi-query --queries-parquet output interleaves queries arbitrarily
+    attach_urls(engine(spark, cat, qdf), cat).orderBy("query_id", "rank").show(
+        100, truncate=False
+    )
     spark.stop()
 
 

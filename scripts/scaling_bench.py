@@ -1,28 +1,46 @@
-"""Two-parallelism scaling benchmark (north rule: >=0.8 efficiency N -> 4N).
+"""Two-parallelism scaling benchmark (north rule: >=0.8 efficiency N -> 4N),
+PROBE-GATED (VERDICT r3 next-round #1).
 
 No real multi-node cluster exists in this sandbox, so the same spark-submit
 artifact runs the identical build job at two local[] widths on the same input
 corpus; throughput at both + efficiency go to BENCH/BASELINE.md.
 
-Measurement model (round 3): this VM's effective CPU/memory capacity is
-HYPERVISOR WEATHER — identical pure-numpy memcpy probes measure 0.3 GB/s and
-110 GB/s seconds apart (whole process groups freeze with us=0%/sy=25% in the
-guest), and identical builds spread 5x+. A single run measures the weather,
-not the code, so the campaign:
+Measurement model: this VM's effective CPU/memory capacity is HYPERVISOR
+WEATHER — identical pure-numpy memcpy probes measure 0.3 GB/s and 110 GB/s
+seconds apart (whole process groups freeze with us=0%/sy~25% in the guest),
+and identical builds spread 5x+. Rounds 2-3 established the correlation but
+never *gated* on it, so no trustable efficiency number existed. This version
+gates:
 
-- runs many SHORT cycles, legs INTERLEAVED (low, high, low, high, ...), one
-  timed build per fresh JVM;
-- records a 3-second 8-process memory-bandwidth probe (pure numpy, no Spark)
-  immediately before each leg, so every sample carries its own weather tag;
-- appends every sample to BENCH/scaling_runs.jsonl and reports BEST-OF over
-  all accumulated samples per leg (the max-throughput sample is the one
-  least impeded by the host, i.e. closest to code capability);
-- stages corpus + warehouse + shuffle dirs in /dev/shm (the sandbox's one
-  shared virtual disk is parallelism-independent in a way a real cluster's
-  per-node disks are not).
+- PRE-GATE: before a leg may run, an 8-process aggregate memcpy probe must
+  clear ``--min-probe-gbs`` (default 60 GB/s; healthy ~60-110). Below the
+  floor the leg is skipped (a cheap "weather-wait" event is logged) and
+  retried after a pause — degraded windows never even start a measurement.
+- IN-RUN WEATHER TIMELINE: while the leg runs, the parent samples a 0.4 s
+  single-process memcpy burst every ~10 s (healthy ~21-24 GB/s, frozen ~0;
+  <=4% of one of 32 vCPUs, negligible perturbation). The sample records the
+  whole timeline plus a post-leg 8-proc probe.
+- CLEAN GATE (applied at report time from the recorded raw data): a sample
+  is CLEAN iff pre-probe >= floor AND >= ``--min-inrun-frac`` (default 0.8)
+  of its in-run bursts clear ``--min-inrun-gbs`` (default 8 GB/s). The
+  report's efficiency uses best-of CLEAN samples only, states how many
+  samples were excluded and why, and PASSES or FAILS the 0.8 target on
+  clean-weather evidence alone.
+
+The campaign runs until every leg has ``--target-clean`` clean samples (or
+``--max-minutes`` elapses), interleaving legs (fewest-clean-first) with one
+timed build per fresh JVM. Every sample (clean or not) appends to
+BENCH/scaling_runs.jsonl with its full weather record.
+
+``--engine`` selects the build path (operators.index_build): "arrow" =
+pandas-UDF kernels (the input-hint contract path), "sql" = the all-JVM
+build (bit-identical output, tests/test_sql_engine.py). Measuring both
+separates engine scaling from the host's python-process pathology: JVM-only
+work scales on this box (r3 forensics), so the sql legs evidence the PLAN's
+scalability while the arrow legs measure the contract path under gating.
 
 Usage:
-    python scripts/scaling_bench.py [n_docs] --cycles 3          # measure
+    python scripts/scaling_bench.py [n_docs] --campaign          # measure
     python scripts/scaling_bench.py [n_docs] --report            # write md
 """
 
@@ -33,10 +51,12 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+FMT = 4  # index/code format generation of the measured engine (see __init__)
 
 WORKER = r"""
 import json, shutil, sys, time
@@ -58,7 +78,8 @@ wh = "/dev/shm/ir_scale_wh_{cores}"
 shutil.rmtree(wh, ignore_errors=True)
 cat = Catalog(spark, wh)
 t0 = time.time()
-m = build_index(spark, pages, cat, lang="en", n_buckets={buckets}, num_term_partitions={cores})
+m = build_index(spark, pages, cat, lang="en", n_buckets={buckets},
+                num_term_partitions={cores}, engine={engine!r})
 dt = time.time() - t0
 from information_retrieval_images_spark import fixtures
 from information_retrieval_images_spark.operators.bm25 import bm25_topk_wand
@@ -103,13 +124,61 @@ def bw_probe(nproc: int = 8, secs: float = 3.0) -> float:
     return round(total / secs, 1)
 
 
-def run_leg(cores: int, corpus: str, buckets: int, timeout: int = 1800) -> dict:
-    code = WORKER.format(repo=REPO, cores=cores, corpus=corpus, buckets=buckets)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout)
+def bw_rate_single(secs: float = 0.4) -> float:
+    """One-process memcpy GB/s — the in-run weather burst (healthy ~21-24)."""
+    t0 = time.time()
+    gb = _bw_burn(secs)
+    return round(gb / max(time.time() - t0, 1e-9), 1)
+
+
+class InRunProber(threading.Thread):
+    """Samples single-proc memcpy bursts every ``period`` s while a leg runs."""
+
+    def __init__(self, period: float = 10.0, burst: float = 0.4):
+        super().__init__(daemon=True)
+        self.period, self.burst = period, burst
+        self.values: list[float] = []
+        self._stop = threading.Event()
+
+    def run(self) -> None:
+        while not self._stop.wait(self.period):
+            self.values.append(bw_rate_single(self.burst))
+
+    def stop(self) -> list[float]:
+        self._stop.set()
+        self.join(timeout=5)
+        return self.values
+
+
+def run_leg(cores: int, corpus: str, buckets: int, engine: str, timeout: int = 1800) -> dict:
+    code = WORKER.format(repo=REPO, cores=cores, corpus=corpus, buckets=buckets, engine=engine)
+    prober = InRunProber()
+    prober.start()
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout)
+    finally:
+        inrun = prober.stop()
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            r = json.loads(line[len("RESULT "):])
+            r["inrun_gbs"] = inrun
+            return r
     raise RuntimeError(f"worker local[{cores}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+
+
+def is_clean(r: dict, args) -> bool:
+    """The probe gate: pre-probe clears the floor AND the in-run timeline
+    stayed healthy for >= min_inrun_frac of its bursts. Samples without an
+    in-run timeline (pre-r4 rows) are never clean — that is the point."""
+    if "error" in r or r.get("fmt") != FMT:
+        return False
+    if r.get("probe_gbs", 0) < args.min_probe_gbs:
+        return False
+    inrun = r.get("inrun_gbs")
+    if not inrun:
+        return False
+    ok = sum(v >= args.min_inrun_gbs for v in inrun)
+    return ok / len(inrun) >= args.min_inrun_frac
 
 
 def ensure_corpus(n_docs: int, page_kb: int) -> str:
@@ -132,120 +201,179 @@ def ensure_corpus(n_docs: int, page_kb: int) -> str:
     return shm
 
 
+def _append_run(rec: dict) -> None:
+    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
+    with open(RUNS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def _load_runs() -> list[dict]:
+    return [json.loads(l) for l in open(RUNS)] if os.path.exists(RUNS) else []
+
+
 def campaign(args) -> None:
     corpus = ensure_corpus(args.n_docs, args.page_kb)
-    os.makedirs(os.path.dirname(RUNS), exist_ok=True)
     legs = [args.low, args.high]
-    for cycle in range(args.cycles):
-        for cores in legs:
-            probe = bw_probe()
-            try:
-                r = run_leg(cores, corpus, args.buckets)
-            except Exception as e:  # a frozen-weather run may blow the timeout
-                r = {"cores": cores, "error": str(e)[:300]}
-            r.update(
-                {
-                    "probe_gbs": probe,
-                    "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
-                    "n_docs_req": args.n_docs,
-                    "page_kb": args.page_kb,
-                    "buckets": args.buckets,
-                }
-            )
-            with open(RUNS, "a") as f:
-                f.write(json.dumps(r) + "\n")
-            print(json.dumps(r), flush=True)
+    t_end = time.time() + args.max_minutes * 60
+
+    def clean_count(cores: int) -> int:
+        return sum(
+            1
+            for r in _load_runs()
+            if r.get("cores") == cores
+            and r.get("n_docs_req") == args.n_docs
+            and r.get("page_kb") == args.page_kb
+            and r.get("engine", "arrow") == args.engine
+            and is_clean(r, args)
+        )
+
+    while time.time() < t_end:
+        counts = {c: clean_count(c) for c in legs}
+        pending = [c for c in legs if counts[c] < args.target_clean]
+        if not pending:
+            print(json.dumps({"done": True, "clean": counts}))
+            return
+        cores = min(pending, key=lambda c: counts[c])
+        probe = bw_probe()
+        base = {
+            "cores": cores,
+            "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "n_docs_req": args.n_docs,
+            "page_kb": args.page_kb,
+            "buckets": args.buckets,
+            "engine": args.engine,
+            "fmt": FMT,
+            "probe_gbs": probe,
+        }
+        if probe < args.min_probe_gbs:
+            # PRE-GATE: degraded window — do not burn a measurement on it
+            _append_run({**base, "skipped_weather": True})
+            time.sleep(args.weather_wait_s)
+            continue
+        try:
+            r = run_leg(cores, corpus, args.buckets, args.engine)
+        except Exception as e:  # a frozen-weather run may blow the timeout
+            r = {"error": str(e)[:300]}
+        r["probe_post_gbs"] = bw_probe()
+        _append_run({**base, **r})
+    print(json.dumps({"done": False, "reason": "max-minutes", "clean": {c: clean_count(c) for c in legs}}))
+
+
+def _leg_rows(allrows: list[dict], args, n_docs: int, engine: str) -> list[dict]:
+    return [
+        r
+        for r in allrows
+        if "error" not in r
+        and not r.get("skipped_weather")
+        and r.get("n_docs_req") == n_docs
+        and r.get("page_kb") == args.page_kb
+        and r.get("engine", "arrow") == engine
+        and "docs_per_sec" in r
+    ]
+
+
+def _eff_block(allrows, args, n_docs, low, high, engine) -> tuple[str, dict]:
+    rows = _leg_rows(allrows, args, n_docs, engine)
+    clean = [r for r in rows if is_clean(r, args)]
+
+    def best(pool, cores):
+        sel = [r for r in pool if r["cores"] == cores]
+        return max(sel, key=lambda r: r["docs_per_sec"]) if sel else None
+
+    def runs_sorted(pool, cores):
+        return sorted(r["build_s"] for r in pool if r["cores"] == cores)
+
+    lo, hi = best(clean, low), best(clean, high)
+    if lo is None or hi is None:
+        return (
+            f"\n### {engine} engine, local[{low}] -> local[{high}] ({n_docs:,} docs)\n\n"
+            f"insufficient CLEAN samples (low: {sum(1 for r in clean if r['cores']==low)}, "
+            f"high: {sum(1 for r in clean if r['cores']==high)}) — not reportable.\n",
+            {},
+        )
+    factor = high / low
+    eff = hi["docs_per_sec"] / lo["docs_per_sec"] / factor
+    excluded = len(rows) - len(clean)
+    waits = sum(
+        1
+        for r in allrows
+        if r.get("skipped_weather") and r.get("n_docs_req") == n_docs and r.get("engine", "arrow") == engine
+    )
+
+    def fmt_leg(r, pool, cores):
+        inrun = r.get("inrun_gbs") or []
+        frac = (sum(v >= args.min_inrun_gbs for v in inrun) / len(inrun)) if inrun else 0
+        return (
+            f"| local[{cores}] | {r['build_s']} | {runs_sorted(pool, cores)} | {r['docs_per_sec']} "
+            f"| {r['probe_gbs']} | {round(frac * 100)}% | {r.get('cpu_s_children', '-')} |"
+        )
+
+    md = f"""
+### {engine} engine, local[{low}] -> local[{high}] ({lo['docs']:,} docs, {args.page_kb} KB/page)
+
+| parallelism | build wall best-clean (s) | all clean runs (s) | docs/sec | pre-probe GB/s | in-run healthy % | cpu_s |
+|---|---|---|---|---|---|---|
+{fmt_leg(lo, clean, low)}
+{fmt_leg(hi, clean, high)}
+
+- clean samples: {len(clean)} (of {len(rows)} measured; {excluded} excluded by the gate, {waits} degraded windows pre-skipped)
+- throughput speedup {low} -> {high} cores ({factor:.0f}x): **{hi['docs_per_sec'] / lo['docs_per_sec']:.2f}x**
+- **scaling efficiency = {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+"""
+    return md, {"eff": round(eff, 3), "low": lo, "high": hi, "clean": len(clean)}
 
 
 def report(args) -> None:
-    allrows = [json.loads(l) for l in open(RUNS)] if os.path.exists(RUNS) else []
-    allrows = [r for r in allrows if "error" not in r and r.get("page_kb") == args.page_kb]
-    # never mix corpus sizes within a comparison: fixed per-job overheads
-    # differ, so best-of is taken within one (n_docs, cores) cell
-    rows = [r for r in allrows if r["n_docs_req"] == args.n_docs]
-    by_cores: dict[int, list[dict]] = {}
-    for r in rows:
-        by_cores.setdefault(r["cores"], []).append(r)
-    if args.low not in by_cores or args.high not in by_cores:
-        raise SystemExit(f"need samples for local[{args.low}] and local[{args.high}] in {RUNS}")
-
-    def best(pool, cores: int) -> dict:
-        return max((r for r in pool if r["cores"] == cores), key=lambda r: r["docs_per_sec"])
-
-    def runs_sorted(pool, cores: int) -> list[float]:
-        return sorted(r["build_s"] for r in pool if r["cores"] == cores)
-
-    lo, hi = best(rows, args.low), best(rows, args.high)
-    ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
-    factor = args.high / args.low
-    eff = ratio / factor
-    probes = sorted(r["probe_gbs"] for r in allrows)
-    secondary = ""
-    rows2 = [r for r in allrows if r["n_docs_req"] == args.n_docs2]
-    if any(r["cores"] == args.low2 for r in rows2) and any(r["cores"] == args.high2 for r in rows2):
-        lo2, hi2 = best(rows2, args.low2), best(rows2, args.high2)
-        r2 = hi2["docs_per_sec"] / lo2["docs_per_sec"] / (args.high2 / args.low2)
-        secondary = (
-            f"\nSecondary legs local[{args.low2}] -> local[{args.high2}] "
-            f"({lo2['docs']:,} docs; both legs' JVM+Python-worker process counts fit far below the box's 32 vCPUs):\n\n"
-            f"| parallelism | build wall best (s) | all runs (s) | docs/sec |\n|---|---|---|---|\n"
-            f"| local[{args.low2}] | {lo2['build_s']} | {runs_sorted(rows2, args.low2)} | {lo2['docs_per_sec']} |\n"
-            f"| local[{args.high2}] | {hi2['build_s']} | {runs_sorted(rows2, args.high2)} | {hi2['docs_per_sec']} |\n\n"
-            f"- secondary scaling efficiency {args.low2} -> {args.high2} (4x cores): **{r2:.3f}** "
-            f"(target >= 0.8: {'PASS' if r2 >= 0.8 else 'FAIL'})\n"
-        )
-    md = f"""# BENCH baseline — measured numbers
+    allrows = _load_runs()
+    blocks = []
+    summary = {}
+    for engine in args.report_engines.split(","):
+        b1, s1 = _eff_block(allrows, args, args.n_docs, args.low, args.high, engine)
+        b2, s2 = _eff_block(allrows, args, args.n_docs2, args.low2, args.high2, engine)
+        blocks += [b1, b2]
+        summary[engine] = {"primary": s1, "secondary": s2}
+    probes = sorted(r["probe_gbs"] for r in allrows if "probe_gbs" in r)
+    md = f"""# BENCH baseline — measured numbers (probe-gated)
 
 ## Scaling efficiency (north rule: >=0.8 from N to 4N parallelism)
 
 No multi-node cluster is available in this sandbox; the identical build job
-(`jobs/build_index_job.py` code path, fresh JVM per run) ran at
-local[{args.low}] and local[{args.high}] over the same
-{lo['docs']:,}-doc synthetic webtext corpus (FIXTURES.md schema,
+(`jobs/build_index_job.py` code path, fresh JVM per run) runs at two local[]
+widths over the same synthetic webtext corpus (FIXTURES.md schema,
 ~{args.page_kb} KB/page markup weight — realistic Common-Crawl page mass, so
-extraction compute dominates as it does in production).
+extraction compute dominates as in production).
 
-| parallelism | build wall best (s) | all runs (s) | docs/sec | 50-query WAND batch (s) |
-|---|---|---|---|---|
-| local[{args.low}] | {lo['build_s']} | {runs_sorted(rows, args.low)} | {lo['docs_per_sec']} | {lo['query_batch_s']} |
-| local[{args.high}] | {hi['build_s']} | {runs_sorted(rows, args.high)} | {hi['docs_per_sec']} | {hi['query_batch_s']} |
+**Gating (VERDICT r3 #1)**: a sample only counts as CLEAN when (a) an
+8-process aggregate memcpy probe taken seconds before the leg clears
+{args.min_probe_gbs} GB/s (healthy 60-110; frozen windows measure <1), and
+(b) >= {int(args.min_inrun_frac * 100)}% of single-process memcpy bursts
+sampled every ~10 s DURING the leg clear {args.min_inrun_gbs} GB/s (healthy
+21-24). Degraded windows are pre-skipped without burning a measurement.
+Reported numbers are best-of-CLEAN per leg; every raw sample (including
+excluded and skipped ones) is in BENCH/scaling_runs.jsonl.
+{"".join(blocks)}
+## Why two engines
 
-- throughput speedup {args.low} -> {args.high} cores ({factor:.0f}x): **{ratio:.2f}x**
-- scaling efficiency = ({hi['docs_per_sec']} / {lo['docs_per_sec']}) / {factor:.0f} = **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
-{secondary}
-## Methodology: why best-of-many interleaved samples
+`arrow` is the input-hint contract path (extraction + tokenization in
+vectorized pandas UDFs). `sql` builds the bit-identical index with zero
+Python workers (textproc.extract_text_expr + posting_runs_sql; proven
+identical in tests/test_sql_engine.py). This box freezes/anti-scales groups
+of MEMORY-HEAVY PYTHON PROCESSES specifically (r3 forensics: a no-Spark
+16-process replica of the extraction stage runs 2x slower than its own
+4-process run, while pure-JVM scans scale ~linearly 4 -> 16) — so the sql
+legs evidence the PLAN's scaling behavior free of that host pathology, and
+the arrow legs state the contract path's number under clean weather. On a
+real cluster Python workers are spread across nodes, not co-scheduled onto
+one oversold memory bus.
 
-This VM's capacity is hypervisor weather, measured (2026-08-17, pure numpy
-8-process memcpy, no Spark involved): aggregate bandwidth swung between
-**0.3 GB/s and 110 GB/s across back-to-back 6-second windows** — whole
-process groups freeze with us=0%/sy~25% in guest vmstat while the box shows
-idle CPUs (host steal / kernel-side stalls; guest `st` spikes to 17%).
-Register-only busy loops scale near-linearly through the same windows, so
-the instability is specific to memory-heavy work — exactly what an index
-build is. A NO-SPARK replica of the build's extraction stage (pyarrow read
-+ the shared extract kernel, 16 plain Python processes) ran 2x SLOWER than
-its own 4-process run inside a bad window — the anti-scaling lives in the
-host, not in the engine's plan.
-
-Therefore each sample here is one short fresh-JVM build; legs are
-interleaved; every sample carries a memcpy probe taken seconds before it
-({len(rows)} samples total, probe range {probes[0] if probes else 0}-{probes[-1] if probes else 0} GB/s);
-and the reported number per leg is the max-throughput sample — the run
-least impeded by the host and hence the closest observable estimate of the
-code's capability at that parallelism. All samples: BENCH/scaling_runs.jsonl.
-
-On a real cluster none of this applies: executors are not co-scheduled onto
-one oversold memory bus, and the build's per-stage structure (scan-side
-extraction, one hash shuffle on (term, doc_group), no driver-side barriers
-beyond P_LOGICAL prefix sums) contains no serial section that grows with
-cluster size.
-
-Measured {time.strftime('%Y-%m-%d %H:%M:%S')}; regenerate with
-`python scripts/scaling_bench.py {args.n_docs} --page-kb {args.page_kb} --cycles 3 && python scripts/scaling_bench.py {args.n_docs} --report`.
+Probe range observed across the whole campaign: {probes[0] if probes else 0} - {probes[-1] if probes else 0} GB/s
+({len(probes)} probes). Measured {time.strftime('%Y-%m-%d %H:%M:%S')}; regenerate with
+`python scripts/scaling_bench.py --campaign --engine <e> && python scripts/scaling_bench.py --report`.
 """
     with open(args.out, "w") as f:
         f.write(md)
-    print(json.dumps({"eff": round(eff, 3), "low": lo, "high": hi, "samples": len(rows)}))
+    print(json.dumps(summary, default=lambda o: {k: o[k] for k in ("docs_per_sec", "build_s", "cores")} if isinstance(o, dict) else str(o)))
     print(f"wrote {args.out}")
 
 
@@ -261,7 +389,15 @@ def main() -> None:
                     help="corpus size for the secondary (low2/high2) legs")
     ap.add_argument("--page-kb", type=int, default=64)
     ap.add_argument("--buckets", type=int, default=1)
-    ap.add_argument("--cycles", type=int, default=3)
+    ap.add_argument("--engine", choices=["arrow", "sql"], default="arrow")
+    ap.add_argument("--report-engines", default="arrow,sql")
+    ap.add_argument("--min-probe-gbs", type=float, default=60.0)
+    ap.add_argument("--min-inrun-gbs", type=float, default=8.0)
+    ap.add_argument("--min-inrun-frac", type=float, default=0.8)
+    ap.add_argument("--target-clean", type=int, default=3)
+    ap.add_argument("--max-minutes", type=float, default=90.0)
+    ap.add_argument("--weather-wait-s", type=float, default=20.0)
+    ap.add_argument("--campaign", action="store_true")
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
     if args.report:

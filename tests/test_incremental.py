@@ -144,6 +144,106 @@ def test_append_crash_between_docs_and_postings_repairs(spark, frames, tmp_path_
         assert _math.isclose(x, y, rel_tol=1e-9)
 
 
+def test_append_refused_while_other_bucket_crashed(spark, frames, tmp_path_factory):
+    """Appends are serialized: a crashed bucket (docs, no checkpoint) blocks
+    appends to ANY other bucket until repaired — otherwise the other append
+    would allocate overlapping doc ids and poison the crash-repair invariant
+    (ADVICE r3 finding #1)."""
+    initial, full = frames
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("serial")))
+    build_index(spark, spark.createDataFrame(initial), cat, n_buckets=1)
+
+    from information_retrieval_images_spark.operators import incremental as incr_mod
+
+    mid = full.iloc[N0 : N0 + 30]
+    tail = full.iloc[N0 + 30 :]
+
+    class Killed(Exception):
+        pass
+
+    orig_encode = incr_mod.encode_bucket_postings
+    incr_mod.encode_bucket_postings = lambda *a, **k: (_ for _ in ()).throw(Killed())
+    try:
+        with pytest.raises(Killed):
+            append_bucket(spark, spark.createDataFrame(mid), cat, bucket=1000)
+    finally:
+        incr_mod.encode_bucket_postings = orig_encode
+
+    # bucket 1000 is orphaned -> appending bucket 1001 must refuse
+    with pytest.raises(RuntimeError, match=r"\[1000\].*repair"):
+        append_bucket(spark, spark.createDataFrame(tail), cat, bucket=1001)
+
+    # repair 1000, then 1001 proceeds; final state matches the oracle
+    append_bucket(spark, spark.createDataFrame(mid), cat, bucket=1000)
+    append_bucket(spark, spark.createDataFrame(tail), cat, bucket=1001)
+    idx = build_oracle_index(full, lang="en")
+    got = _rank_urls(spark, cat, "term000000")
+    want = [(url, score) for _, url, score in oracle_topk(idx, "term000000", k=10)]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (_, x), (_, y) in zip(got, want):
+        assert math.isclose(x, y, rel_tol=1e-9)
+
+
+def test_streaming_compaction_survives_restart(spark, frames, tmp_path_factory):
+    """A stream restart must not strand micro-batch buckets uncompacted: the
+    pending set is recovered from the checkpoint manifest, not the previous
+    process's memory (ADVICE r3 finding #2)."""
+    import math as _math
+
+    from information_retrieval_images_spark.streaming import incremental_index_update
+
+    initial, full = frames
+    base = tmp_path_factory.mktemp("streamr")
+    cat = Catalog(spark, str(base / "wh"))
+    build_index(spark, spark.createDataFrame(initial), cat, n_buckets=1)
+
+    tail = full.iloc[N0:]
+    half = len(tail) // 2
+    new_dir = str(base / "incoming")
+
+    def build_fn(batch_df, bucket):
+        append_bucket(spark, batch_df, cat, bucket=bucket)
+
+    # run 1: one micro-batch bucket appended, cadence (2) not reached — the
+    # in-memory accumulator dies with the stream
+    spark.createDataFrame(tail.iloc[:half]).coalesce(1).write.mode("append").parquet(new_dir)
+    schema = spark.read.parquet(new_dir).schema
+    stream1 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(new_dir)
+    )
+    q1 = incremental_index_update(
+        stream1, cat, build_fn, checkpoint_dir=str(base / "ckpt"), compact_every=2
+    ).start()
+    q1.awaitTermination(180)
+    pending = {
+        int(r["bucket"])
+        for r in cat.read("postings").select("bucket").distinct().collect()
+        if int(r["bucket"]) >= 1_000_000
+    }
+    assert len(pending) == 1, pending
+
+    # run 2 (a FRESH foreachBatch closure = restarted driver): the recovered
+    # pending bucket plus this batch's bucket reach the cadence -> compaction
+    spark.createDataFrame(tail.iloc[half:]).coalesce(1).write.mode("append").parquet(new_dir)
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(new_dir)
+    )
+    q2 = incremental_index_update(
+        stream2, cat, build_fn, checkpoint_dir=str(base / "ckpt"), compact_every=2
+    ).start()
+    q2.awaitTermination(180)
+
+    buckets = {int(r["bucket"]) for r in cat.read("postings").select("bucket").distinct().collect()}
+    assert all(b < 1_000_000 for b in buckets), buckets
+    assert cat.read("docs").count() == (full["lang"] == "en").sum()
+    idx = build_oracle_index(full, lang="en")
+    got = _rank_urls(spark, cat, "term000000")
+    want = [(url, score) for _, url, score in oracle_topk(idx, "term000000", k=10)]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (_, x), (_, y) in zip(got, want):
+        assert _math.isclose(x, y, rel_tol=1e-9)
+
+
 def test_streaming_compaction_cadence(spark, frames, tmp_path_factory):
     """compact_every=N: continuous ingest merges every N micro-batch buckets
     into one fresh target (VERDICT r2 next #8) — bucket count stays bounded

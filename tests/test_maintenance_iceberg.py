@@ -24,8 +24,20 @@ def icat(spark):
     ms = MagicMock(name="spark")
     ms.conf.get.return_value = "8"
     stats_tbl = MagicMock(name="stats_global_tbl")
+    class _Row(dict):
+        def asDict(self):
+            return dict(self)
+
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    from information_retrieval_images_spark import INDEX_FORMAT
+
     stats_tbl.collect.return_value = [
-        {"n_docs": 10, "avgdl": 10.0, "sum_dl": 100, "max_doc_id": 9}
+        _Row(
+            n_docs=10, avgdl=10.0, sum_dl=100, max_doc_id=9,
+            p_logical=1024, format=INDEX_FORMAT,
+        )
     ]
     tables = {"stats_global": stats_tbl}
     ms.table.side_effect = lambda name: tables.setdefault(name, MagicMock(name=f"{name}_tbl"))
@@ -53,21 +65,27 @@ def test_delete_docs_iceberg_sql_sequence(icat, monkeypatch):
 
     out = maintenance.delete_docs(ms, cat, ["http://a", "http://b"])
 
-    # row-level DELETE via temp view, one snapshot commit
+    # row-level DELETE via a per-call unique temp view (concurrent deletes
+    # sharing one session must not stomp each other's url set), one snapshot
+    # commit, view dropped after
     url_df = ms.createDataFrame.return_value.distinct.return_value
-    url_df.createOrReplaceTempView.assert_called_once_with("_ir_delete_urls")
-    assert "DELETE FROM docs WHERE url IN (SELECT url FROM _ir_delete_urls)" in _sql_calls(ms)
+    (view,) = url_df.createOrReplaceTempView.call_args.args
+    assert view.startswith("_ir_delete_urls_") and len(view) > len("_ir_delete_urls_")
+    assert f"DELETE FROM docs WHERE url IN (SELECT url FROM {view})" in _sql_calls(ms)
+    ms.catalog.dropTempView.assert_called_once_with(view)
     # incremental stats: 10-2 docs, (100-20)/8 avgdl — no full-corpus agg
     assert out["n_deleted"] == 2 and out["n_docs"] == 8 and out["avgdl"] == 10.0
     # only the hit bucket is re-encoded, under the NEW avgdl
     assert encoded == [(1, 10.0)]
     # stats_global overwritten with the delta'd numbers (and max preserved)
+    from information_retrieval_images_spark import INDEX_FORMAT
+
     sg_rows = [
         c.args[0]
         for c in ms.createDataFrame.call_args_list
-        if c.args and c.args[0] and isinstance(c.args[0], list) and len(c.args[0][0]) == 6
+        if c.args and c.args[0] and isinstance(c.args[0], list) and len(c.args[0][0]) == 8
     ]
-    assert (8, 10.0, 1.2, 0.75, 80, 9) in [tuple(r[0]) for r in sg_rows]
+    assert (8, 10.0, 1.2, 0.75, 80, 9, 1024, INDEX_FORMAT) in [tuple(r[0]) for r in sg_rows]
 
 
 def test_compact_buckets_iceberg_sql_sequence(icat, monkeypatch):
@@ -112,13 +130,24 @@ def test_encode_bucket_postings_iceberg_deletes_before_append(icat, monkeypatch)
     monkeypatch.setattr(
         incremental, "write_bucket_postings", lambda c, blocks, b, np_: log.append(("write", b))
     )
+    # sidecars (doclens/bloom) are plain-parquet writes orthogonal to the
+    # Iceberg SQL sequence under test
+    monkeypatch.setattr(incremental, "write_bucket_doclens", lambda c, docs, b: log.append(("doclens", b)))
+    monkeypatch.setattr(
+        "information_retrieval_images_spark.blooms.write_bucket_bloom",
+        lambda c, docs, b: log.append(("bloom", b)),
+    )
 
     incremental.encode_bucket_postings(ms, cat, 3, 10.0, 8)
 
     sqls = [q for kind, q in log if kind == "sql"]
     assert "DELETE FROM postings WHERE bucket = 3" in sqls
     assert "DELETE FROM stats WHERE bucket = 3" in sqls
-    assert log[-1] == ("write", 3), "append must come after both DELETEs"
+    writes = [e for e in log if e[0] in ("write", "doclens", "bloom")]
+    assert writes == [("write", 3), ("doclens", 3), ("bloom", 3)]
+    assert log.index(("write", 3)) > max(
+        i for i, e in enumerate(log) if e[0] == "sql"
+    ), "append must come after both DELETEs"
 
 
 def test_write_bucket_postings_iceberg_appends_both_tables(icat):

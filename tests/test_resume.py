@@ -34,7 +34,6 @@ def _postings_key(cat: Catalog) -> pd.DataFrame:
     pdf = cat.read("postings").toPandas()
     pdf["docs_enc"] = pdf["docs_enc"].map(bytes)
     pdf["tfs_enc"] = pdf["tfs_enc"].map(bytes)
-    pdf["dls_enc"] = pdf["dls_enc"].map(bytes)
     return pdf.sort_values(["term", "bucket", "first_doc"]).reset_index(drop=True)
 
 
@@ -99,6 +98,46 @@ def _docs_file_state(cat: Catalog) -> dict:
             p = os.path.join(root, f)
             state[p] = os.path.getmtime(p)
     return state
+
+
+def test_old_format_warehouse_gets_clear_error(spark, pages_df, tmp_path_factory):
+    """A warehouse written by an older engine version must fail with a clear
+    'rebuild required' message at the stats gate, not a column-not-found
+    error deep inside a query plan (ADVICE r3 finding #4)."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("oldfmt")))
+    build_index(spark, pages_df, cat, n_buckets=1)
+    # regress stats_global to the pre-v4 6-column shape
+    legacy = spark.createDataFrame(
+        [(10, 10.0, 1.2, 0.75, 100, 9)],
+        "n_docs long, avgdl double, k1 double, b double, sum_dl long, max_doc_id long",
+    )
+    legacy.write.mode("overwrite").parquet(cat.path("stats_global"))
+    fresh = Catalog(spark, cat.root)
+    with pytest.raises(RuntimeError, match="format .*rebuild"):
+        fresh.global_doc_stats()
+
+
+def test_postings_carry_no_per_posting_dls(spark, pages_df, tmp_path_factory):
+    """Format v4 (VERDICT r3 what's-wrong #2): posting blocks store no
+    per-posting doc lengths; dl lives once per (bucket, doc_group) in the
+    doclens sidecar, one row per group per bucket."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("nodls")))
+    build_index(spark, pages_df, cat, n_buckets=2)
+    assert "dls_enc" not in cat.read("postings").columns
+    dl = spark.read.parquet(cat.path("doclens"))
+    assert set(dl.columns) == {"doc_group", "ids_enc", "dls_enc", "bucket"}
+    # one sidecar row per (bucket, doc_group); ids cover every doc exactly once
+    import numpy as np
+
+    from information_retrieval_images_spark.codec import varint_decode
+
+    rows = dl.toPandas()
+    assert not rows.duplicated(["bucket", "doc_group"]).any()
+    ids = np.concatenate(
+        [np.cumsum(varint_decode(bytes(r.ids_enc)).astype(np.int64)) for r in rows.itertuples()]
+    )
+    docs_ids = cat.read("docs").select("doc_id").toPandas()["doc_id"].to_numpy()
+    assert sorted(ids.tolist()) == sorted(docs_ids.tolist())
 
 
 def test_resume_reuses_docs_without_reassign(spark, pages_df, tmp_path_factory):
