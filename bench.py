@@ -73,6 +73,18 @@ def main() -> None:
     extras["n_docs_indexed"] = metrics["n_docs"]
     extras["build_docs_per_sec"] = round(metrics["n_docs"] / min(runs["index_build"]), 1)
 
+    def _dir_bytes(p: str) -> int:
+        total = 0
+        for dirpath, _, files in os.walk(p):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    # format v4 storage split: postings no longer carry per-posting dls; the
+    # dl sidecar is ~O(docs) vs the old O(postings) in-block copies
+    extras["index_bytes"] = {
+        t: _dir_bytes(os.path.join(wh, t)) for t in ("postings", "doclens", "stats", "blooms")
+    }
+
     # --- query latency + headline gates: interleaved best-of-N ----------------
     qdf = spark.createDataFrame(fixtures.make_queries_pandas())
     single_rows = list(fixtures.make_queries_pandas().head(N_SINGLE_QUERIES).itertuples(index=False))

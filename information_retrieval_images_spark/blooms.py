@@ -93,9 +93,13 @@ def build_bloom(urls_df: DataFrame, n_keys: int) -> tuple[int, int, bytes]:
     return m, N_HASHES, acc.tobytes()
 
 
-def write_bucket_bloom(catalog, bucket_docs: DataFrame, bucket: int) -> None:
-    """(Re)build one bucket's url bloom — part of the bucket-rewrite unit."""
-    n = bucket_docs.count()
+def write_bucket_bloom(catalog, bucket_docs: DataFrame, bucket: int, n_keys: int | None = None) -> None:
+    """(Re)build one bucket's url bloom — part of the bucket-rewrite unit.
+
+    ``n_keys`` (the bucket's doc count) sizes the bitmap; pass it when the
+    caller already knows it (build/append/compact do) to save a count job —
+    every extra Spark action costs a full job round-trip at small scale."""
+    n = bucket_docs.count() if n_keys is None else int(n_keys)
     if n == 0:
         # an emptied bucket keeps no bloom (no urls to match)
         import shutil

@@ -59,7 +59,12 @@ from .index_build import (
 
 
 def encode_bucket_postings(
-    spark: SparkSession, catalog: Catalog, bucket: int, avgdl: float, nparts: int
+    spark: SparkSession,
+    catalog: Catalog,
+    bucket: int,
+    avgdl: float,
+    nparts: int,
+    bloom_n_keys: int | None = None,
 ) -> None:
     """(Re)build one bucket's postings + stats from the docs table — the
     shared bucket-rewrite unit used by append, crash repair and row deletes.
@@ -83,7 +88,7 @@ def encode_bucket_postings(
     write_bucket_doclens(catalog, bucket_docs, bucket)
     from ..blooms import write_bucket_bloom
 
-    write_bucket_bloom(catalog, bucket_docs, bucket)
+    write_bucket_bloom(catalog, bucket_docs, bucket, n_keys=bloom_n_keys)
 
 
 def _checkpointed_buckets(catalog: Catalog) -> set[int]:
@@ -194,7 +199,7 @@ def append_bucket(
 
     avgdl = write_stats_global(catalog, n_docs, sum_dl, max(max0, max_bucket), p_logical)
 
-    encode_bucket_postings(spark, catalog, bucket, avgdl, nparts)
+    encode_bucket_postings(spark, catalog, bucket, avgdl, nparts, bloom_n_keys=n_bucket)
 
     lineage = json.dumps(
         {"job": "append_bucket", "bucket": bucket, "avgdl": avgdl, "start_id": start_id, "repaired": n_orphaned}

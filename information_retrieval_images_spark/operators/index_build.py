@@ -583,7 +583,7 @@ def build_index(
         write_bucket_doclens(catalog, bucket_docs, b)
         from ..blooms import write_bucket_bloom
 
-        write_bucket_bloom(catalog, bucket_docs, b)
+        write_bucket_bloom(catalog, bucket_docs, b, n_keys=per_bucket.get(b, (0, 0))[0])
         _tr(f"bucket{b}_postings_stats")
         nd, toks = per_bucket.get(b, (0, 0))
         wall_ms = int((time.time() - t0) * 1000)

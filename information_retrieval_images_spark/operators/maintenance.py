@@ -221,7 +221,7 @@ def compact_buckets(
 
     # same corpus, same N/avgdl — only the layout changed
     _, avgdl = catalog.global_query_stats()
-    encode_bucket_postings(spark, catalog, target_bucket, avgdl, nparts)
+    encode_bucket_postings(spark, catalog, target_bucket, avgdl, nparts, bloom_n_keys=n_moved)
 
     lineage = json.dumps({"job": "compact_buckets", "buckets": buckets, "target": target_bucket, "n_moved": n_moved})
     ck = spark.createDataFrame(

@@ -138,14 +138,15 @@ class InRunProber(threading.Thread):
         super().__init__(daemon=True)
         self.period, self.burst = period, burst
         self.values: list[float] = []
-        self._stop = threading.Event()
+        # NB: not named _stop — threading.Thread uses a private _stop method
+        self._halt = threading.Event()
 
     def run(self) -> None:
-        while not self._stop.wait(self.period):
+        while not self._halt.wait(self.period):
             self.values.append(bw_rate_single(self.burst))
 
     def stop(self) -> list[float]:
-        self._stop.set()
+        self._halt.set()
         self.join(timeout=5)
         return self.values
 

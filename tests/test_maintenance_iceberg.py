@@ -60,7 +60,7 @@ def test_delete_docs_iceberg_sql_sequence(icat, monkeypatch):
     monkeypatch.setattr(maintenance.F, "broadcast", lambda df: df)
     encoded = []
     monkeypatch.setattr(
-        maintenance, "encode_bucket_postings", lambda sp, c, b, avgdl, np_: encoded.append((b, avgdl))
+        maintenance, "encode_bucket_postings", lambda sp, c, b, avgdl, np_, **kw: encoded.append((b, avgdl))
     )
 
     out = maintenance.delete_docs(ms, cat, ["http://a", "http://b"])
@@ -96,7 +96,7 @@ def test_compact_buckets_iceberg_sql_sequence(icat, monkeypatch):
     monkeypatch.setattr("information_retrieval_images_spark.operators.incremental._checkpointed_buckets", lambda c: {1000000, 1000001})
     encoded = []
     monkeypatch.setattr(
-        maintenance, "encode_bucket_postings", lambda sp, c, b, avgdl, np_: encoded.append((b, avgdl))
+        maintenance, "encode_bucket_postings", lambda sp, c, b, avgdl, np_, **kw: encoded.append((b, avgdl))
     )
 
     out = maintenance.compact_buckets(ms, cat, [1000000, 1000001], 999999)
@@ -135,7 +135,7 @@ def test_encode_bucket_postings_iceberg_deletes_before_append(icat, monkeypatch)
     monkeypatch.setattr(incremental, "write_bucket_doclens", lambda c, docs, b: log.append(("doclens", b)))
     monkeypatch.setattr(
         "information_retrieval_images_spark.blooms.write_bucket_bloom",
-        lambda c, docs, b: log.append(("bloom", b)),
+        lambda c, docs, b, **kw: log.append(("bloom", b)),
     )
 
     incremental.encode_bucket_postings(ms, cat, 3, 10.0, 8)
