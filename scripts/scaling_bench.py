@@ -115,20 +115,61 @@ def _bw_burn(secs: float) -> float:
     return n * 0.05 * 2
 
 
+# Probes run in a FRESH SUBPROCESS SESSION (start_new_session), never in the
+# campaign parent: this host's freezes stick to process groups (observed
+# r4: the long-lived campaign parent's in-process probes read 0.3 GB/s for
+# 6+ minutes while a fresh shell measured 81 GB/s at the same moment). The
+# build workers are fresh subprocesses too, so a fresh-session probe samples
+# the same fate a worker is about to get; an in-parent probe samples a
+# possibly-frozen group no worker will run in.
+_PROBE_CODE = r"""
+import sys, time
+import numpy as np
+import multiprocessing as mp
+
+def burn(secs):
+    a = np.ones(50_000_000, dtype=np.uint8)
+    b = np.empty_like(a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < secs:
+        np.copyto(b, a)
+        n += 1
+    return n * 0.05 * 2
+
+nproc, secs = int(sys.argv[1]), float(sys.argv[2])
+t0 = time.time()
+if nproc == 1:
+    total = burn(secs)
+else:
+    with mp.Pool(nproc) as p:
+        total = sum(p.map(burn, [secs] * nproc))
+print(round(total / max(time.time() - t0 if nproc == 1 else secs, 1e-9), 1))
+"""
+
+
+def _probe_subprocess(nproc: int, secs: float) -> float:
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE, str(nproc), str(secs)],
+            capture_output=True,
+            text=True,
+            timeout=secs * 10 + 30,
+            start_new_session=True,
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return 0.0  # an unmeasurable window gates itself out
+
+
 def bw_probe(nproc: int = 8, secs: float = 3.0) -> float:
     """Aggregate memcpy GB/s right now — the host-weather tag for a sample."""
-    import multiprocessing as mp
-
-    with mp.Pool(nproc) as p:
-        total = sum(p.map(_bw_burn, [secs] * nproc))
-    return round(total / secs, 1)
+    return _probe_subprocess(nproc, secs)
 
 
 def bw_rate_single(secs: float = 0.4) -> float:
     """One-process memcpy GB/s — the in-run weather burst (healthy ~21-24)."""
-    t0 = time.time()
-    gb = _bw_burn(secs)
-    return round(gb / max(time.time() - t0, 1e-9), 1)
+    return _probe_subprocess(1, secs)
 
 
 class InRunProber(threading.Thread):
@@ -156,7 +197,13 @@ def run_leg(cores: int, corpus: str, buckets: int, engine: str, timeout: int = 1
     prober = InRunProber()
     prober.start()
     try:
-        out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout)
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            start_new_session=True,
+        )
     finally:
         inrun = prober.stop()
     for line in out.stdout.splitlines():
