@@ -1,15 +1,10 @@
 #!/bin/bash
 # Round-4 probe-gated scaling campaign (VERDICT r3 next #1).
-# Phases ordered to secure the most informative numbers first; each phase
-# stops early once every leg has --target-clean clean samples. All samples
-# (clean, gated-out, weather-skipped) append to BENCH/scaling_runs.jsonl.
+# One adaptive loop over every (engine x corpus x width) cell: each iteration
+# probes the weather and, if clean, measures the cell with the fewest clean
+# samples — good windows are never wasted, frozen stretches cost only cheap
+# pre-skips. All samples append to BENCH/scaling_runs.jsonl.
 set -x
 cd "$(dirname "$0")/.."
-P=python
-# primary legs (4 -> 16, 400k docs, 64 KB pages)
-$P scripts/scaling_bench.py 400000 --campaign --engine sql   --max-minutes 40
-$P scripts/scaling_bench.py 400000 --campaign --engine arrow --max-minutes 45
-# secondary legs (2 -> 8, 200k docs)
-$P scripts/scaling_bench.py 200000 --low 2 --high 8 --campaign --engine sql   --max-minutes 25
-$P scripts/scaling_bench.py 200000 --low 2 --high 8 --campaign --engine arrow --max-minutes 30
-$P scripts/scaling_bench.py --report
+python scripts/scaling_bench.py 400000 --campaign --engine sql,arrow --max-minutes ${1:-150}
+python scripts/scaling_bench.py --report

@@ -261,36 +261,46 @@ def _load_runs() -> list[dict]:
 
 
 def campaign(args) -> None:
-    corpus = ensure_corpus(args.n_docs, args.page_kb)
-    legs = [args.low, args.high]
+    """Adaptive multi-cell campaign: one loop over every (engine, corpus,
+    width) cell, always measuring the cell with the fewest clean samples —
+    a good-weather window is never wasted on an already-satisfied cell, and
+    a frozen stretch costs only cheap pre-skips (~25 s each)."""
+    engines = args.engine.split(",")
+    cells = []  # (engine, n_docs, cores)
+    for eng in engines:
+        for nd, cs in ((args.n_docs, args.low), (args.n_docs, args.high),
+                       (args.n_docs2, args.low2), (args.n_docs2, args.high2)):
+            cells.append((eng, nd, cs))
+    corpora = {nd: ensure_corpus(nd, args.page_kb) for nd in {c[1] for c in cells}}
     t_end = time.time() + args.max_minutes * 60
 
-    def clean_count(cores: int) -> int:
+    def clean_count(cell) -> int:
+        eng, nd, cs = cell
         return sum(
             1
             for r in _load_runs()
-            if r.get("cores") == cores
-            and r.get("n_docs_req") == args.n_docs
+            if r.get("cores") == cs
+            and r.get("n_docs_req") == nd
             and r.get("page_kb") == args.page_kb
-            and r.get("engine", "arrow") == args.engine
+            and r.get("engine", "arrow") == eng
             and is_clean(r, args)
         )
 
     while time.time() < t_end:
-        counts = {c: clean_count(c) for c in legs}
-        pending = [c for c in legs if counts[c] < args.target_clean]
+        counts = {c: clean_count(c) for c in cells}
+        pending = [c for c in cells if counts[c] < args.target_clean]
         if not pending:
-            print(json.dumps({"done": True, "clean": counts}))
+            print(json.dumps({"done": True, "clean": {str(k): v for k, v in counts.items()}}))
             return
-        cores = min(pending, key=lambda c: counts[c])
+        eng, nd, cores = min(pending, key=lambda c: (counts[c], c[1], c[2]))
         probe = bw_probe()
         base = {
             "cores": cores,
             "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
-            "n_docs_req": args.n_docs,
+            "n_docs_req": nd,
             "page_kb": args.page_kb,
             "buckets": args.buckets,
-            "engine": args.engine,
+            "engine": eng,
             "fmt": FMT,
             "probe_gbs": probe,
         }
@@ -300,12 +310,13 @@ def campaign(args) -> None:
             time.sleep(args.weather_wait_s)
             continue
         try:
-            r = run_leg(cores, corpus, args.buckets, args.engine)
+            r = run_leg(cores, corpora[nd], args.buckets, eng)
         except Exception as e:  # a frozen-weather run may blow the timeout
             r = {"error": str(e)[:300]}
         r["probe_post_gbs"] = bw_probe()
         _append_run({**base, **r})
-    print(json.dumps({"done": False, "reason": "max-minutes", "clean": {c: clean_count(c) for c in legs}}))
+    print(json.dumps({"done": False, "reason": "max-minutes",
+                      "clean": {str(c): clean_count(c) for c in cells}}))
 
 
 def _leg_rows(allrows: list[dict], args, n_docs: int, engine: str) -> list[dict]:
