@@ -87,16 +87,38 @@ qdf = spark.createDataFrame(fixtures.make_queries_pandas())
 tq = time.time()
 bm25_topk_wand(spark, cat, qdf).count()
 qsec = time.time() - tq
-spark.stop()
-# total CPU seconds burned by the JVM + python workers (rolls up through the
-# reaping chain once the JVM exits): if cpu_s is ~constant across widths, the
+# total CPU seconds burned by the whole worker tree (JVM + python workers),
+# summed from /proc before teardown: if cpu_s is ~constant across widths, the
 # plan is work-conserving and any wall-clock gap is host scheduling, not code
-import resource
-ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+def tree_cpu_s() -> float:
+    import os
+    tick = os.sysconf("SC_CLK_TCK")
+    procs = {{}}  # pid -> (ppid, own utime+stime seconds)
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{{pid}}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            procs[int(pid)] = (int(parts[1]), (int(parts[11]) + int(parts[12])) / tick)
+        except (OSError, IndexError, ValueError):
+            continue
+    kids = {{os.getpid()}}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in kids and pid not in kids:
+                kids.add(pid)
+                grew = True
+    return sum(cpu for pid, (_, cpu) in procs.items() if pid in kids)
+
+cpu_s = tree_cpu_s()
+spark.stop()
 print("RESULT " + json.dumps({{"cores": {cores}, "build_s": round(dt, 2),
     "docs": m["n_docs"], "docs_per_sec": round(m["n_docs"] / dt, 1),
     "query_batch_s": round(qsec, 2),
-    "cpu_s_children": round(ru.ru_utime + ru.ru_stime, 1)}}))
+    "cpu_s_children": round(cpu_s, 1)}}))
 shutil.rmtree("/dev/shm/ir_scale_wh_{cores}", ignore_errors=True)
 shutil.rmtree("/dev/shm/ir_scale_tmp_{cores}", ignore_errors=True)
 """
@@ -448,7 +470,8 @@ def main() -> None:
                     help="corpus size for the secondary (low2/high2) legs")
     ap.add_argument("--page-kb", type=int, default=64)
     ap.add_argument("--buckets", type=int, default=1)
-    ap.add_argument("--engine", choices=["arrow", "sql"], default="arrow")
+    ap.add_argument("--engine", default="arrow",
+                    help="comma-separated build engines to measure: arrow, sql")
     ap.add_argument("--report-engines", default="arrow,sql")
     ap.add_argument("--min-probe-gbs", type=float, default=60.0)
     ap.add_argument("--min-inrun-gbs", type=float, default=8.0)
