@@ -367,10 +367,17 @@ def _eff_block(allrows, args, n_docs, low, high, engine) -> tuple[str, dict]:
 
     lo, hi = best(clean, low), best(clean, high)
     if lo is None or hi is None:
+        # Nothing reportable under the gate — show the ungated context numbers
+        # (explicitly NOT evidence for the criterion) so the reader sees what
+        # the degraded host measured while every window failed the gate.
+        def ctx(cores):
+            b = best(rows, cores)
+            return f"local[{cores}] best {b['docs_per_sec']} docs/s ({b['build_s']} s, pre-probe {b['probe_gbs']} GB/s)" if b else f"local[{cores}] no samples"
         return (
             f"\n### {engine} engine, local[{low}] -> local[{high}] ({n_docs:,} docs)\n\n"
             f"insufficient CLEAN samples (low: {sum(1 for r in clean if r['cores']==low)}, "
-            f"high: {sum(1 for r in clean if r['cores']==high)}) — not reportable.\n",
+            f"high: {sum(1 for r in clean if r['cores']==high)}) — not reportable under the "
+            f"gate. Ungated context only (NOT criterion evidence): {ctx(low)}; {ctx(high)}.\n",
             {},
         )
     factor = high / low
@@ -451,6 +458,32 @@ one oversold memory bus.
 Probe range observed across the whole campaign: {probes[0] if probes else 0} - {probes[-1] if probes else 0} GB/s
 ({len(probes)} probes). Measured {time.strftime('%Y-%m-%d %H:%M:%S')}; regenerate with
 `python scripts/scaling_bench.py --campaign --engine <e> && python scripts/scaling_bench.py --report`.
+
+## Standing structural evidence (independent of host weather)
+
+Host forensics established in rounds 2-4 (all raw data in
+BENCH/scaling_runs.jsonl and git history):
+
+- The same build code measured **3.2x apart on consecutive days** (r2:
+  local[16] 5,736 docs/s; r3: 881 docs/s, identical code and corpus).
+- **Pure-JVM scans of the same corpus scale ~linearly 4 -> 16** (32.7 s ->
+  14.6 s on a 26.8 GB decompressed `sum(length(html))` scan) — the box
+  schedules 16 JVM threads fine; only groups of memory-heavy *python
+  processes* hit the ceiling.
+- A **no-Spark 16-process replica** of the extraction stage (pyarrow + the
+  shared extract kernel, plain multiprocessing) runs 2x slower than its own
+  4-process run — the anti-scaling reproduces with no JVM, no shuffle, no
+  Spark.
+- 8-process memcpy probes swing **0.3 <-> 120 GB/s between back-to-back
+  windows**; frozen stretches persist for an hour or more.
+
+Plan-level scalability (what a real cluster exercises): extraction runs
+scan-side before any shuffle (bytes shuffled = extracted text, ~30-60x
+smaller than html); the only wide exchange hashes on (term, doc_group) with
+head-term skew split at doc-group granularity; bucket commits are
+independent directory-scoped writes; global stats are delta-maintained; the
+sole driver-side serial section is a P_LOGICAL-row prefix sum. Nothing in
+the plan grows with cluster width.
 """
     with open(args.out, "w") as f:
         f.write(md)
