@@ -73,6 +73,19 @@ def main() -> None:
     extras["n_docs_indexed"] = metrics["n_docs"]
     extras["build_docs_per_sec"] = round(metrics["n_docs"] / min(runs["index_build"]), 1)
 
+    # second build datapoint: the all-JVM engine (engine="sql", bit-identical
+    # index — tests/test_sql_engine.py). The default arrow path measures the
+    # input-hint contract (pandas-UDF extraction); this one is robust to the
+    # sandbox host's python-process throttling, so the pair separates engine
+    # regressions from host weather in round-over-round comparisons.
+    for _ in range(BUILD_REPS):
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = Catalog(spark, wh)
+        t0 = time.time()
+        metrics = build_index(spark, pages, cat, lang="en", n_buckets=2, engine="sql")
+        record("index_build_sql", time.time() - t0)
+    extras["build_docs_per_sec_sql"] = round(metrics["n_docs"] / min(runs["index_build_sql"]), 1)
+
     def _dir_bytes(p: str) -> int:
         total = 0
         for dirpath, _, files in os.walk(p):
