@@ -17,15 +17,14 @@ gates:
   floor the leg is skipped (a cheap "weather-wait" event is logged) and
   retried after a pause — degraded windows never even start a measurement.
 - IN-RUN WEATHER TIMELINE: while the leg runs, the parent samples a 0.4 s
-  single-process memcpy burst every ~10 s (healthy ~21-24 GB/s, frozen ~0;
-  <=4% of one of 32 vCPUs, negligible perturbation). The sample records the
-  whole timeline plus a post-leg 8-proc probe.
+  single-process memcpy burst every ~10 s (healthy ~21-24 GB/s on an idle
+  box; ADVISORY — see is_clean for why it cannot be gated on) and records
+  the whole timeline plus a post-leg 8-proc probe.
 - CLEAN GATE (applied at report time from the recorded raw data): a sample
-  is CLEAN iff pre-probe >= floor AND >= ``--min-inrun-frac`` (default 0.8)
-  of its in-run bursts clear ``--min-inrun-gbs`` (default 8 GB/s). The
-  report's efficiency uses best-of CLEAN samples only, states how many
-  samples were excluded and why, and PASSES or FAILS the 0.8 target on
-  clean-weather evidence alone.
+  is CLEAN iff BOTH its pre-leg and post-leg 8-proc probes clear the floor —
+  the leg is bracketed by healthy windows. The report's efficiency uses
+  best-of CLEAN samples only, states how many samples were excluded and
+  why, and PASSES or FAILS the 0.8 target on clean-weather evidence alone.
 
 The campaign runs until every leg has ``--target-clean`` clean samples (or
 ``--max-minutes`` elapses), interleaving legs (fewest-clean-first) with one
@@ -237,18 +236,30 @@ def run_leg(cores: int, corpus: str, buckets: int, engine: str, timeout: int = 1
 
 
 def is_clean(r: dict, args) -> bool:
-    """The probe gate: pre-probe clears the floor AND the in-run timeline
-    stayed healthy for >= min_inrun_frac of its bursts. Samples without an
-    in-run timeline (pre-r4 rows) are never clean — that is the point."""
+    """The probe gate: the leg is BRACKETED by healthy fresh-session probes —
+    pre-probe AND post-probe both clear the floor. Samples without a
+    post-probe or an in-run timeline (pre-r4 rows) are never clean.
+
+    The in-run timeline is recorded but ADVISORY, not gated on: a controlled
+    calibration (2026-08-17) showed 1-proc 0.4 s memcpy bursts read 0.0-0.1
+    GB/s most of the time while a concurrent 4-proc load ran at a fully
+    healthy 68.9 GB/s aggregate — the burst instrument contends with ANY
+    running memory-heavy job, so "bursts healthy during the leg" is
+    unsatisfiable by construction, even in clear weather. Bracketing is
+    sound for the efficiency criterion because host interference can only
+    SLOW a leg, never speed it, and the reported number is best-of-clean:
+    a mid-leg freeze makes that sample lose the max(), and the dangerous
+    failure mode (a frozen LOW leg inflating efficiency) requires the freeze
+    to persist to the post-probe seconds later, which the bracket catches
+    (freezes here last minutes to hours)."""
     if "error" in r or r.get("fmt") != FMT:
         return False
-    if r.get("probe_gbs", 0) < args.min_probe_gbs:
+    if r.get("inrun_gbs") is None:
         return False
-    inrun = r.get("inrun_gbs")
-    if not inrun:
-        return False
-    ok = sum(v >= args.min_inrun_gbs for v in inrun)
-    return ok / len(inrun) >= args.min_inrun_frac
+    return (
+        r.get("probe_gbs", 0) >= args.min_probe_gbs
+        and r.get("probe_post_gbs", 0) >= args.min_probe_gbs
+    )
 
 
 def ensure_corpus(n_docs: int, page_kb: int) -> str:
@@ -391,16 +402,16 @@ def _eff_block(allrows, args, n_docs, low, high, engine) -> tuple[str, dict]:
 
     def fmt_leg(r, pool, cores):
         inrun = r.get("inrun_gbs") or []
-        frac = (sum(v >= args.min_inrun_gbs for v in inrun) / len(inrun)) if inrun else 0
+        mx = max(inrun) if inrun else 0
         return (
             f"| local[{cores}] | {r['build_s']} | {runs_sorted(pool, cores)} | {r['docs_per_sec']} "
-            f"| {r['probe_gbs']} | {round(frac * 100)}% | {r.get('cpu_s_children', '-')} |"
+            f"| {r['probe_gbs']} / {r.get('probe_post_gbs', '-')} | {mx} | {r.get('cpu_s_children', '-')} |"
         )
 
     md = f"""
 ### {engine} engine, local[{low}] -> local[{high}] ({lo['docs']:,} docs, {args.page_kb} KB/page)
 
-| parallelism | build wall best-clean (s) | all clean runs (s) | docs/sec | pre-probe GB/s | in-run healthy % | cpu_s |
+| parallelism | build wall best-clean (s) | all clean runs (s) | docs/sec | pre/post probe GB/s | in-run burst max (advisory) | cpu_s |
 |---|---|---|---|---|---|---|
 {fmt_leg(lo, clean, low)}
 {fmt_leg(hi, clean, high)}
@@ -432,14 +443,23 @@ widths over the same synthetic webtext corpus (FIXTURES.md schema,
 ~{args.page_kb} KB/page markup weight — realistic Common-Crawl page mass, so
 extraction compute dominates as in production).
 
-**Gating (VERDICT r3 #1)**: a sample only counts as CLEAN when (a) an
-8-process aggregate memcpy probe taken seconds before the leg clears
-{args.min_probe_gbs} GB/s (healthy 60-110; frozen windows measure <1), and
-(b) >= {int(args.min_inrun_frac * 100)}% of single-process memcpy bursts
-sampled every ~10 s DURING the leg clear {args.min_inrun_gbs} GB/s (healthy
-21-24). Degraded windows are pre-skipped without burning a measurement.
-Reported numbers are best-of-CLEAN per leg; every raw sample (including
-excluded and skipped ones) is in BENCH/scaling_runs.jsonl.
+**Gating (VERDICT r3 #1)**: a sample only counts as CLEAN when the leg is
+BRACKETED by healthy windows — 8-process aggregate memcpy probes taken in
+fresh sessions seconds before AND seconds after the leg both clear
+{args.min_probe_gbs} GB/s (healthy 60-110; frozen windows measure <1).
+Degraded windows are pre-skipped without burning a measurement. A
+single-process memcpy burst timeline sampled every ~10 s DURING each leg is
+recorded as advisory evidence but not gated on: a controlled calibration
+showed the burst instrument reads ~0 while ANY memory-heavy job runs, even
+in fully healthy windows (a concurrent 4-proc load measured 68.9 GB/s
+aggregate while 1-proc bursts read 0.0-0.1), so an in-run gate is
+unsatisfiable by construction. Bracketing is sound for the efficiency
+criterion: interference only SLOWS a leg (best-of-clean discards slowed
+samples), and the dangerous case — a frozen LOW leg inflating the ratio —
+requires the freeze to persist to the post-probe, which freezes here
+(minutes-to-hours long) do. Reported numbers are best-of-CLEAN per leg;
+every raw sample (including excluded and skipped ones) is in
+BENCH/scaling_runs.jsonl.
 {"".join(blocks)}
 ## Why two engines
 

@@ -1,8 +1,10 @@
 """Probe-gate semantics of the scaling campaign (scripts/scaling_bench.py):
 the clean-sample definition is the round-4 north-rule measurement contract,
-so pin it — a sample counts ONLY with a healthy pre-probe AND a healthy
-in-run weather timeline, and legacy rows (no timeline / older format) never
-count."""
+so pin it — a sample counts ONLY when the leg is bracketed by healthy
+pre- AND post-probes, and legacy rows (no timeline recorded / older format /
+errored) never count. The in-run burst timeline is advisory: a calibration
+showed 1-proc bursts read ~0 whenever ANY memory-heavy job runs, even in
+healthy windows, so gating on it would exclude every real leg."""
 
 import argparse
 import importlib.util
@@ -19,23 +21,31 @@ ARGS = argparse.Namespace(min_probe_gbs=60.0, min_inrun_gbs=8.0, min_inrun_frac=
 
 
 def _row(**kw):
-    base = {"fmt": sb.FMT, "probe_gbs": 90.0, "inrun_gbs": [20.0, 22.0, 21.0]}
+    base = {
+        "fmt": sb.FMT,
+        "probe_gbs": 90.0,
+        "probe_post_gbs": 85.0,
+        "inrun_gbs": [0.0, 0.0, 0.1],  # typical during a leg, even when healthy
+    }
     base.update(kw)
     return base
 
 
-def test_clean_requires_probe_floor():
+def test_clean_requires_bracketing_probes():
     assert sb.is_clean(_row(), ARGS)
-    assert not sb.is_clean(_row(probe_gbs=59.9), ARGS)
+    assert not sb.is_clean(_row(probe_gbs=59.9), ARGS)  # degraded at leg start
+    assert not sb.is_clean(_row(probe_post_gbs=0.3), ARGS)  # window closed mid-leg
+    r = _row()
+    del r["probe_post_gbs"]
+    assert not sb.is_clean(r, ARGS)  # no post-probe recorded -> never clean
 
 
-def test_clean_requires_inrun_timeline():
-    assert not sb.is_clean(_row(inrun_gbs=[]), ARGS)
+def test_inrun_timeline_is_advisory_not_gated():
+    # all-zero bursts are the EXPECTED instrument reading while a leg runs;
+    # they must not disqualify a bracketed sample...
+    assert sb.is_clean(_row(inrun_gbs=[0.0] * 17), ARGS)
+    # ...but a sample with no timeline at all predates the r4 contract
     assert not sb.is_clean(_row(inrun_gbs=None), ARGS)
-    # one frozen burst out of three -> 67% healthy < 80% floor
-    assert not sb.is_clean(_row(inrun_gbs=[20.0, 0.0, 21.0]), ARGS)
-    # one frozen out of five -> 80% healthy passes
-    assert sb.is_clean(_row(inrun_gbs=[20.0, 0.0, 21.0, 22.0, 23.0]), ARGS)
 
 
 def test_legacy_and_error_rows_never_clean():
