@@ -1,10 +1,12 @@
 """Probe-gate semantics of the scaling campaign (scripts/scaling_bench.py):
 the clean-sample definition is the round-4 north-rule measurement contract,
 so pin it — a sample counts ONLY when the leg is bracketed by healthy
-pre- AND post-probes, and legacy rows (no timeline recorded / older format /
-errored) never count. The in-run burst timeline is advisory: a calibration
-showed 1-proc bursts read ~0 whenever ANY memory-heavy job runs, even in
-healthy windows, so gating on it would exclude every real leg."""
+ambient probes (pre-probe AND a settled closing probe), and legacy rows
+(no timeline recorded / older format / errored) never count. Calibration
+facts the semantics encode: (a) 1-proc in-run bursts read ~0 whenever ANY
+memory-heavy job runs, even in healthy windows -> advisory only; (b) the
+immediate post-leg probe is depressed ~20-30 s by worker teardown (JVM exit
++ /dev/shm rmtree) -> the next settled probe may close the bracket."""
 
 import argparse
 import importlib.util
@@ -37,7 +39,28 @@ def test_clean_requires_bracketing_probes():
     assert not sb.is_clean(_row(probe_post_gbs=0.3), ARGS)  # window closed mid-leg
     r = _row()
     del r["probe_post_gbs"]
-    assert not sb.is_clean(r, ARGS)  # no post-probe recorded -> never clean
+    assert not sb.is_clean(r, ARGS)  # no closing signal at all -> never clean
+
+
+def test_settled_ambient_probe_can_close_the_bracket():
+    # teardown-depressed immediate post, healthy probe 30 s later -> clean
+    assert sb.is_clean(_row(probe_post_gbs=0.3, _ambient_after=88.0), ARGS)
+    # both closing signals degraded -> excluded
+    assert not sb.is_clean(_row(probe_post_gbs=0.3, _ambient_after=12.0), ARGS)
+
+
+def test_annotate_ambient_uses_next_probe_within_window():
+    rows = [
+        {"ts": "2026-08-17 10:33:03", "docs_per_sec": 1500.8, "probe_gbs": 105.9,
+         "probe_post_gbs": 24.7, "fmt": sb.FMT, "inrun_gbs": [0.0]},
+        {"ts": "2026-08-17 10:35:41", "probe_gbs": 85.4, "skipped_weather": True},
+    ]
+    sb._annotate_ambient(rows)
+    assert rows[0]["_ambient_after"] == 85.4
+    # a probe far outside the window must NOT close the bracket
+    rows[1]["ts"] = "2026-08-17 11:35:41"
+    sb._annotate_ambient(rows)
+    assert rows[0]["_ambient_after"] is None
 
 
 def test_inrun_timeline_is_advisory_not_gated():
