@@ -360,7 +360,11 @@ def campaign(args) -> None:
         if not pending:
             print(json.dumps({"done": True, "clean": {str(k): v for k, v in counts.items()}}))
             return
-        eng, nd, cores = min(pending, key=lambda c: (counts[c], c[1], c[2]))
+        # fewest-clean first so a good-weather window is never wasted on an
+        # already-satisfied cell; ties break by CLI cell order (engine-major,
+        # primary corpus first) so the caller controls which pair gets scarce
+        # clear windows
+        eng, nd, cores = min(pending, key=lambda c: (counts[c], cells.index(c)))
         probe = bw_probe()
         base = {
             "cores": cores,
@@ -463,15 +467,31 @@ def _eff_block(allrows, args, n_docs, low, high, engine) -> tuple[str, dict]:
     return md, {"eff": round(eff, 3), "low": lo, "high": hi, "clean": len(clean)}
 
 
+def _discover_cells(allrows: list[dict], args) -> list[tuple[str, int, int, int]]:
+    """Every (engine, n_docs, w, 4w) pair with at least one measured sample on
+    each side — the report covers ALL collected evidence, not just the cells
+    the current CLI invocation would measure."""
+    widths: dict[tuple[str, int], set[int]] = {}
+    for r in allrows:
+        if r.get("fmt") == FMT and "docs_per_sec" in r and r.get("page_kb") == args.page_kb:
+            widths.setdefault((r.get("engine", "arrow"), r["n_docs_req"]), set()).add(r["cores"])
+    cells = []
+    for (eng, nd), ws in widths.items():
+        for w in sorted(ws):
+            if 4 * w in ws:
+                cells.append((eng, nd, w, 4 * w))
+    # biggest corpus first within an engine (most load-bearing evidence on top)
+    return sorted(cells, key=lambda c: (c[0], -c[1], c[2]))
+
+
 def report(args) -> None:
     allrows = _load_runs()
     blocks = []
     summary = {}
-    for engine in args.report_engines.split(","):
-        b1, s1 = _eff_block(allrows, args, args.n_docs, args.low, args.high, engine)
-        b2, s2 = _eff_block(allrows, args, args.n_docs2, args.low2, args.high2, engine)
-        blocks += [b1, b2]
-        summary[engine] = {"primary": s1, "secondary": s2}
+    for eng, nd, low, high in _discover_cells(allrows, args):
+        b, s = _eff_block(allrows, args, nd, low, high, eng)
+        blocks.append(b)
+        summary[f"{eng}_{nd}_{low}to{high}"] = s
     probes = sorted(r["probe_gbs"] for r in allrows if "probe_gbs" in r)
     md = f"""# BENCH baseline — measured numbers (probe-gated)
 
