@@ -484,6 +484,61 @@ def _discover_cells(allrows: list[dict], args) -> list[tuple[str, int, int, int]
     return sorted(cells, key=lambda c: (c[0], -c[1], c[2]))
 
 
+def _floor_fit_block(allrows: list[dict], args) -> str:
+    """Least-squares fit wall = c*(docs/width) + s over each engine's CLEAN
+    samples (best per (corpus, width)): c = per-doc-per-core compute cost,
+    s = fixed serial floor per build (driver job round-trips, commit writes,
+    worker spin-up). Testable when >2 (corpus, width) points exist. The
+    floor is a LOCAL-MODE artifact of second-scale legs: at cluster scale a
+    build's jobs run for hours, so s is amortized to ~0 and the efficiency
+    criterion sees only the compute term."""
+    pts: dict[str, dict[tuple[int, int], float]] = {}
+    for r in allrows:
+        if not is_clean(r, args) or "docs_per_sec" not in r or r.get("page_kb") != args.page_kb:
+            continue
+        key = (r["n_docs_req"], r["cores"])
+        cur = pts.setdefault(r.get("engine", "arrow"), {})
+        if key not in cur or r["build_s"] < cur[key]:
+            cur[key] = r["build_s"]
+    out = []
+    for eng, best in sorted(pts.items()):
+        if len(best) < 2:
+            continue
+        xs = [nd / w for (nd, w) in best]  # docs per core
+        ys = list(best.values())
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        den = sum((x - mx) ** 2 for x in xs)
+        if den == 0:
+            continue
+        c = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den
+        s = my - c * mx
+        rows_md = "".join(
+            f"| {nd:,} | {w} | {wall} | {round(c * nd / w + s, 1)} |\n"
+            for (nd, w), wall in sorted(best.items())
+        )
+        caveat = " — 2 points fit 2 params exactly; >2 points make the model testable" if n == 2 else ""
+        out.append(
+            f"\n**{eng}**: c = {c * 1000:.2f} ms/doc/core, fixed floor s = {s:.1f} s "
+            f"(fit over {n} (corpus, width) points{caveat})\n\n"
+            f"| docs | width | wall best-clean (s) | fit c*docs/width + s (s) |\n|---|---|---|---|\n{rows_md}"
+        )
+    if not out:
+        return ""
+    return (
+        "\n## Serial-floor decomposition (fit over clean samples)\n\n"
+        "Local-mode legs carry a fixed per-build serial floor (driver job "
+        "round-trips, bucket-commit writes, Python-worker spin-up) that does "
+        "not shrink with added cores; on second-scale legs it bounds "
+        "measurable efficiency at wall_lo/(wall_lo + 3s) regardless of how "
+        "well the compute scales. The fit separates the two:\n"
+        + "".join(out)
+        + "\nAt 10^12 docs a build's stages run for hours, so s (seconds) is "
+        "amortized to ~0: the efficiency the cluster sees is the compute "
+        "term's, which the fit isolates.\n"
+    )
+
+
 def report(args) -> None:
     allrows = _load_runs()
     blocks = []
@@ -492,6 +547,7 @@ def report(args) -> None:
         b, s = _eff_block(allrows, args, nd, low, high, eng)
         blocks.append(b)
         summary[f"{eng}_{nd}_{low}to{high}"] = s
+    blocks.append(_floor_fit_block(allrows, args))
     probes = sorted(r["probe_gbs"] for r in allrows if "probe_gbs" in r)
     md = f"""# BENCH baseline — measured numbers (probe-gated)
 
