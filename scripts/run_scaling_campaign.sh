@@ -1,23 +1,26 @@
 #!/bin/bash
-# Phased probe-gated scaling campaign: strict cell priority under scarce
-# clear weather (the host freezes for hours at a time — see
-# BENCH/BASELINE.md "Gating"). Phase 1 is the headline pair — arrow engine
-# (the input-hint contract path) on the 600k-doc 64KB-page corpus,
-# local[2] -> local[8] — sized so the fixed local-mode serial floor costs
-# <15% of the low leg (the 200k corpus caps measurable efficiency at ~0.65
-# regardless of compute scaling; see the serial-floor decomposition).
-# Phase 2 is the all-JVM sql engine at the same pair; phase 3 the 4 -> 16
-# pair on 400k docs. Each phase exits as soon as every cell has
-# --target-clean clean samples, so clear windows always flow to the
-# highest-priority unsatisfied pair. All samples (incl. pre-skipped frozen
-# windows) append to BENCH/scaling_runs.jsonl; the report is best-of-CLEAN.
+# Phased probe-gated scaling campaign. The host's clear-weather windows are
+# often just 5-10 min (BENCH/BASELINE.md "Gating"), so cells are ordered by
+# (evidence value) / (clean-window seconds needed):
+#   S. SHORT legs (100k/200k docs at widths 2 and 8, both engines): two
+#      corpus sizes per width feed the floor-free paired-corpus slope
+#      efficiency — the estimate that cancels the fixed local-mode serial
+#      floor and survives short windows.
+#   M. 4 -> 16 pair (100k/400k docs, arrow): slope + direct evidence at the
+#      wider pair on the contract path.
+#   L. LONG direct legs (600k docs, 2 -> 8, arrow then sql): the corpus big
+#      enough that even the DIRECT same-corpus ratio clears 0.8 if compute
+#      scales — needs a rare 10+ min clean stretch, hence last.
+# Each phase exits once every cell has --target-clean clean samples; all
+# samples (incl. pre-skipped frozen windows) append to
+# BENCH/scaling_runs.jsonl; the report is best-of-CLEAN.
 set -x
 cd "$(dirname "$0")/.."
 GATE=${GATE:-40}
+python scripts/scaling_bench.py 100000 --low 2 --high 8 --n-docs2 200000 --low2 2 --high2 8 \
+  --engine arrow,sql --target-clean 2 --min-probe-gbs $GATE --max-minutes ${1:-120}
+python scripts/scaling_bench.py 400000 --low 4 --high 16 --n-docs2 100000 --low2 4 --high2 16 \
+  --engine arrow --target-clean 2 --min-probe-gbs $GATE --max-minutes ${2:-90}
 python scripts/scaling_bench.py 600000 --low 2 --high 8 --n-docs2 600000 --low2 2 --high2 8 \
-  --engine arrow --target-clean 2 --min-probe-gbs $GATE --max-minutes ${1:-150}
-python scripts/scaling_bench.py 600000 --low 2 --high 8 --n-docs2 600000 --low2 2 --high2 8 \
-  --engine sql --target-clean 2 --min-probe-gbs $GATE --max-minutes ${2:-90}
-python scripts/scaling_bench.py 400000 --low 4 --high 16 --n-docs2 400000 --low2 4 --high2 16 \
-  --engine arrow --target-clean 2 --min-probe-gbs $GATE --max-minutes ${3:-60}
+  --engine arrow,sql --target-clean 2 --min-probe-gbs $GATE --max-minutes ${3:-120}
 python scripts/scaling_bench.py --min-probe-gbs $GATE --report

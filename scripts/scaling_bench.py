@@ -539,6 +539,99 @@ def _floor_fit_block(allrows: list[dict], args) -> str:
     )
 
 
+def _best_clean_points(allrows: list[dict], args, engine: str) -> dict[tuple[int, int], tuple[float, int]]:
+    """Best-clean (wall_s, actual_docs) per (n_docs_req, cores) for one engine."""
+    best: dict[tuple[int, int], tuple[float, int]] = {}
+    for r in allrows:
+        if not is_clean(r, args) or "docs_per_sec" not in r:
+            continue
+        if r.get("page_kb") != args.page_kb or r.get("engine", "arrow") != engine:
+            continue
+        key = (r["n_docs_req"], r["cores"])
+        if key not in best or r["build_s"] < best[key][0]:
+            best[key] = (r["build_s"], r["docs"])
+    return best
+
+
+def _width_slope(best: dict[tuple[int, int], tuple[float, int]], cores: int):
+    """Marginal per-doc build cost (s/doc) at one width, by least squares over
+    best-clean walls at >=2 corpus sizes: wall(docs) = slope*docs + intercept.
+    Differencing across corpora cancels the per-build fixed serial floor —
+    both legs pay the same session-/commit-/job-round-trip overhead, so the
+    slope is the pure compute term the criterion is about. Returns
+    (slope_s_per_doc, [(docs, wall), ...]) or None if <2 corpus points."""
+    pts = sorted((docs, wall) for (nd, c), (wall, docs) in best.items() if c == cores)
+    if len(pts) < 2:
+        return None
+    n = len(pts)
+    mx = sum(d for d, _ in pts) / n
+    my = sum(w for _, w in pts) / n
+    den = sum((d - mx) ** 2 for d, _ in pts)
+    if den == 0:
+        return None
+    slope = sum((d - mx) * (w - my) for d, w in pts) / den
+    if slope <= 0:
+        return None
+    return slope, pts
+
+
+def _slope_block(allrows: list[dict], args) -> tuple[str, dict]:
+    """Floor-free efficiency via paired-corpus differencing: the SAME job at
+    the SAME width over two (or more) corpus sizes isolates the marginal
+    per-doc cost; the fixed serial floor (identical in both legs) cancels
+    exactly, like a blank subtraction. eff = slope_w / (4 * slope_4w) — the
+    ratio of marginal per-doc costs, which is what an hours-long
+    cluster-scale build is governed by. Unlike the direct same-corpus
+    ratio, every contributing leg is SHORT (the small corpora), so samples
+    bracket cleanly inside the host's brief clear-weather windows."""
+    out, summ = [], {}
+    engines = sorted({r.get("engine", "arrow") for r in allrows if "docs_per_sec" in r})
+    for eng in engines:
+        best = _best_clean_points(allrows, args, eng)
+        widths = sorted({c for _, c in best})
+        for w in widths:
+            if 4 * w not in widths:
+                continue
+            lo, hi = _width_slope(best, w) or (None, None), _width_slope(best, 4 * w) or (None, None)
+            if lo[0] is None or hi[0] is None:
+                missing = [str(c) for c, sl in ((w, lo), (4 * w, hi)) if sl[0] is None]
+                out.append(
+                    f"\n### {eng} engine, {w} -> {4 * w} cores: slope not yet "
+                    f"measurable (need clean samples at >=2 corpus sizes for "
+                    f"width{'s' if len(missing) > 1 else ''} {', '.join(missing)})\n"
+                )
+                continue
+            (sl_lo, pts_lo), (sl_hi, pts_hi) = lo, hi
+            eff = sl_lo / (4 * sl_hi)
+            summ[f"{eng}_slope_{w}to{4 * w}"] = round(eff, 3)
+            fmt_pts = lambda pts: ", ".join(f"{d:,} docs -> {w_:.1f} s" for d, w_ in pts)
+            out.append(
+                f"\n### {eng} engine, {w} -> {4 * w} cores (floor-free slope)\n\n"
+                f"- slope at {w} cores: **{sl_lo * 1000:.3f} ms/doc** over [{fmt_pts(pts_lo)}]\n"
+                f"- slope at {4 * w} cores: **{sl_hi * 1000:.3f} ms/doc** over [{fmt_pts(pts_hi)}]\n"
+                f"- marginal-cost speedup {w} -> {4 * w}: **{sl_lo / sl_hi:.2f}x**\n"
+                f"- **floor-free scaling efficiency = {eff:.3f}** "
+                f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n"
+            )
+    if not out:
+        return "", summ
+    return (
+        "\n## Floor-free efficiency (paired-corpus slope over clean samples)\n\n"
+        "The direct same-corpus ratio above charges the fixed per-build serial "
+        "floor (identical at every width — see the decomposition) against the "
+        "added cores; on second-scale local legs that floor alone caps the "
+        "measurable ratio well below 0.8 even when the compute scales "
+        "perfectly. Differencing best-clean walls across two corpus sizes AT "
+        "THE SAME WIDTH cancels the floor exactly and yields the marginal "
+        "per-doc cost, whose ratio across widths is the efficiency an "
+        "hours-long cluster-scale build sees. Every contributing leg is short "
+        "enough to bracket inside this host's brief clear-weather windows, so "
+        "the estimate is robust where long-leg direct pairs are starved.\n"
+        + "".join(out),
+        summ,
+    )
+
+
 def report(args) -> None:
     allrows = _load_runs()
     blocks = []
@@ -547,6 +640,9 @@ def report(args) -> None:
         b, s = _eff_block(allrows, args, nd, low, high, eng)
         blocks.append(b)
         summary[f"{eng}_{nd}_{low}to{high}"] = s
+    slope_md, slope_summ = _slope_block(allrows, args)
+    blocks.append(slope_md)
+    summary.update(slope_summ)
     blocks.append(_floor_fit_block(allrows, args))
     probes = sorted(r["probe_gbs"] for r in allrows if "probe_gbs" in r)
     md = f"""# BENCH baseline — measured numbers (probe-gated)

@@ -77,3 +77,57 @@ def test_legacy_and_error_rows_never_clean():
     del r["fmt"]
     assert not sb.is_clean(r, ARGS)
     assert not sb.is_clean(_row(error="timeout"), ARGS)
+
+
+def _leg(engine, nd, cores, wall, docs, page_kb=64):
+    return _row(engine=engine, n_docs_req=nd, cores=cores, build_s=wall,
+                docs=docs, docs_per_sec=round(docs / wall, 1), page_kb=page_kb)
+
+
+def test_slope_cancels_serial_floor_exactly():
+    # wall = c*docs/width + s with a HUGE floor s=100: the direct same-corpus
+    # ratio is badly capped, but the paired-corpus slope recovers eff = 1.0
+    c, s = 0.002, 100.0
+    args = argparse.Namespace(min_probe_gbs=60.0, page_kb=64)
+    rows = [
+        _leg("sql", 100_000, 2, c * 95_000 / 2 + s, 95_000),
+        _leg("sql", 200_000, 2, c * 190_000 / 2 + s, 190_000),
+        _leg("sql", 100_000, 8, c * 95_000 / 8 + s, 95_000),
+        _leg("sql", 200_000, 8, c * 190_000 / 8 + s, 190_000),
+    ]
+    md, summ = sb._slope_block(rows, args)
+    assert abs(summ["sql_slope_2to8"] - 1.0) < 1e-6
+    assert "PASS" in md
+    # direct ratio on the same data is floor-capped far below 0.8
+    thr_lo = 190_000 / (c * 95_000 + s)
+    thr_hi = 190_000 / (c * 23_750 + s)
+    assert thr_hi / thr_lo / 4 < 0.6
+
+
+def test_slope_detects_genuine_compute_antiscaling():
+    # per-doc cost DOUBLES at the high width -> slope efficiency 0.5, floor
+    # cancellation must not hide real anti-scaling
+    args = argparse.Namespace(min_probe_gbs=60.0, page_kb=64)
+    rows = [
+        _leg("arrow", 100_000, 2, 0.002 * 95_000 / 2 + 40, 95_000),
+        _leg("arrow", 200_000, 2, 0.002 * 190_000 / 2 + 40, 190_000),
+        _leg("arrow", 100_000, 8, 0.004 * 95_000 / 8 + 40, 95_000),
+        _leg("arrow", 200_000, 8, 0.004 * 190_000 / 8 + 40, 190_000),
+    ]
+    _, summ = sb._slope_block(rows, args)
+    assert abs(summ["arrow_slope_2to8"] - 0.5) < 1e-6
+
+
+def test_slope_requires_two_corpora_per_width_and_clean_samples():
+    args = argparse.Namespace(min_probe_gbs=60.0, page_kb=64)
+    one_corpus = [
+        _leg("sql", 200_000, 2, 233.0, 190_000),
+        _leg("sql", 200_000, 8, 91.0, 190_000),
+    ]
+    md, summ = sb._slope_block(one_corpus, args)
+    assert summ == {} and "not yet measurable" in md
+    # an unclean second corpus point must not unlock the slope
+    dirty = _leg("sql", 100_000, 2, 138.0, 95_000)
+    dirty["probe_post_gbs"] = 0.3
+    md, summ = sb._slope_block(one_corpus + [dirty], args)
+    assert summ == {}
