@@ -464,7 +464,23 @@ def _eff_block(allrows, args, n_docs, low, high, engine) -> tuple[str, dict]:
 - throughput speedup {low} -> {high} cores ({factor:.0f}x): **{hi['docs_per_sec'] / lo['docs_per_sec']:.2f}x**
 - **scaling efficiency = {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 """
-    return md, {"eff": round(eff, 3), "low": lo, "high": hi, "clean": len(clean)}
+    summ = {"eff": round(eff, 3), "low": lo, "high": hi, "clean": len(clean)}
+    cpu_lo, cpu_hi = lo.get("cpu_s_children"), hi.get("cpu_s_children")
+    if cpu_lo and cpu_hi:
+        # Host-scheduling-independent witness: total CPU seconds of the whole
+        # worker tree (/proc, JVM + python workers, whole leg incl. the query
+        # batch). If widening barely grows total CPU work, the plan adds no
+        # parallel overhead — on a non-oversubscribed cluster, wall efficiency
+        # approaches this ratio modulo stragglers.
+        cpu_eff = cpu_lo / cpu_hi
+        summ["cpu_work_conservation"] = round(cpu_eff, 3)
+        md += (
+            f"- CPU-work conservation (cpu_s low / cpu_s high, best-clean legs): "
+            f"**{cpu_eff:.3f}** — widening {low} -> {high} cores grows total CPU work by "
+            f"{(cpu_hi / cpu_lo - 1) * 100:.0f}%; the plan itself adds that little parallel "
+            f"overhead, independent of host scheduling\n"
+        )
+    return md, summ
 
 
 def _discover_cells(allrows: list[dict], args) -> list[tuple[str, int, int, int]]:
