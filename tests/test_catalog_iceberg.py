@@ -20,7 +20,9 @@ def icat():
     return cat, spark
 
 
-def test_overwrite_with_partitioning_uses_create_or_replace(icat):
+def test_overwrite_with_partitioning_uses_create_or_replace(icat, spark):
+    # needs the shared session: Catalog.write builds F.col() partition
+    # expressions, which require an active SparkContext even under mocks
     cat, _ = icat
     df = MagicMock(name="df")
     cat.write(df, "postings", mode="overwrite", partition_by=["bucket"])
