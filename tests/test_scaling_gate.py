@@ -49,7 +49,7 @@ def test_settled_ambient_probe_can_close_the_bracket():
     assert not sb.is_clean(_row(probe_post_gbs=0.3, _ambient_after=12.0), ARGS)
 
 
-def test_annotate_ambient_uses_next_probe_within_window():
+def test_annotate_ambient_uses_best_probe_near_leg_end():
     rows = [
         {"ts": "2026-08-17 10:33:03", "docs_per_sec": 1500.8, "probe_gbs": 105.9,
          "probe_post_gbs": 24.7, "fmt": sb.FMT, "inrun_gbs": [0.0]},
@@ -57,10 +57,24 @@ def test_annotate_ambient_uses_next_probe_within_window():
     ]
     sb._annotate_ambient(rows)
     assert rows[0]["_ambient_after"] == 85.4
-    # a probe far outside the window must NOT close the bracket
+    # a transient dip right after teardown must not hide a healthy settled
+    # probe inside the window (a dip can only slow the sample, never
+    # inflate it — persistent freezes can't read healthy minutes later)
+    rows.insert(1, {"ts": "2026-08-17 10:34:30", "probe_gbs": 0.3, "skipped_weather": True})
+    sb._annotate_ambient(rows)
+    assert rows[0]["_ambient_after"] == 85.4
+    # a probe far outside the settle window must NOT close the bracket
+    del rows[1]
     rows[1]["ts"] = "2026-08-17 11:35:41"
     sb._annotate_ambient(rows)
     assert rows[0]["_ambient_after"] is None
+    # the settle window is anchored at leg END (ts + build_s + query time):
+    # a probe 4 min after ts still closes the bracket of a 3-min leg
+    rows[0]["build_s"] = 180.0
+    rows[0]["query_batch_s"] = 10.0
+    rows[1]["ts"] = "2026-08-17 10:37:03"  # ts+240s; leg end ~ts+220s
+    sb._annotate_ambient(rows)
+    assert rows[0]["_ambient_after"] == 85.4
 
 
 def test_inrun_timeline_is_advisory_not_gated():
