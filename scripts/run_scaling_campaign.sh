@@ -18,7 +18,7 @@ set -x
 cd "$(dirname "$0")/.."
 GATE=${GATE:-40}
 python scripts/scaling_bench.py 100000 --low 2 --high 8 --n-docs2 200000 --low2 2 --high2 8 \
-  --engine arrow,sql --target-clean 2 --min-probe-gbs $GATE --max-minutes ${1:-120}
+  --engine arrow,sql --target-clean 3 --min-probe-gbs $GATE --max-minutes ${1:-120}
 python scripts/scaling_bench.py 400000 --low 4 --high 16 --n-docs2 100000 --low2 4 --high2 16 \
   --engine arrow --target-clean 2 --min-probe-gbs $GATE --max-minutes ${2:-90}
 python scripts/scaling_bench.py 600000 --low 2 --high 8 --n-docs2 600000 --low2 2 --high2 8 \
