@@ -152,30 +152,16 @@ def _query_term_rows(qrows: list[tuple[int, str, int]]) -> list[tuple[int, str, 
     return out
 
 
-def _matched_blocks(spark: SparkSession, catalog: Catalog, qbatch: list):
-    """Postings blocks for the query terms, with idf attached.
+def _query_plan_meta(catalog: Catalog, qbatch: list[tuple[int, str, int]]):
+    """Driver-side query metadata: tokenized term rows with idf attached,
+    plus the per-query matched-posting volumes the fan-out decision needs.
 
-    The query side lives on the driver (tokenized there; guarded by
-    MAX_QUERY_ROWS / MAX_QUERY_TERMS). This buys four things for the hot
-    query job:
-
-    - the term IN-list becomes a pushed parquet predicate -> row-group
-      skipping on the term-sorted postings files, AND the term-prefix (tp)
-      partition filter prunes whole directories: a k-term query opens at
-      most k of the TERM_PREFIX_PARTITIONS subdirs per bucket;
-    - per-term idf comes from the driver-side df cache (Catalog.term_dfs) —
-      stats_global and df values change only on index commits, so a warm
-      repeat query runs ZERO metadata jobs, just the scoring job itself;
-    - idf ships as broadcast LITERAL rows, so the main job is the pruned
-      postings scan + one broadcast hash join — no stats scan, no query
-      re-tokenization in the plan;
-    - per-query posting volume (sum of term df) comes for free, so WAND's
-      task fan-out needs no extra job.
-
-    idf uses the shared numpy kernel (textproc.bm25_idf) — the same code the
-    oracle runs. Returns (blocks, n_docs, avgdl, volumes) with volumes
-    mapping query_id -> total matched postings.
-    """
+    All of it comes from the driver caches (Catalog.global_query_stats /
+    term_dfs) — zero Spark jobs on a warm repeat query. idf uses the shared
+    numpy kernel (textproc.bm25_idf) — the same code the oracle runs.
+    Returns (rows, df_map, n_docs, avgdl, volumes) where rows is
+    [(query_id, term, qtf, k, idf)] restricted to indexed terms and volumes
+    maps query_id -> total matched postings (sum of its terms' df)."""
     qrows = _query_term_rows(qbatch)
     terms = sorted({t for _, t, _, _ in qrows})
     if len(terms) > MAX_QUERY_TERMS:
@@ -194,14 +180,36 @@ def _matched_blocks(spark: SparkSession, catalog: Catalog, qbatch: list):
     volumes: dict[int, int] = {}
     for q, t, _, _, _ in rows:
         volumes[q] = volumes.get(q, 0) + df_map[t]
-    qlit = spark.createDataFrame(rows, "query_id int, term string, qtf int, k int, idf double")
-    tps = sorted({term_prefix(t) for t in df_map})
-    postings = (
+    return rows, df_map, n_docs, avgdl, volumes
+
+
+def _pruned_postings(catalog: Catalog, terms) -> DataFrame:
+    """Postings scan pruned to a query batch's term set: the term IN-list
+    becomes a pushed parquet predicate -> row-group skipping on the
+    term-sorted postings files, AND the term-prefix (tp) partition filter
+    prunes whole directories — a k-term query opens at most k of the
+    TERM_PREFIX_PARTITIONS subdirs per bucket."""
+    tps = sorted({term_prefix(t) for t in terms})
+    return (
         catalog.read("postings")
-        .where(F.col("term").isin(list(df_map) or [""]))
+        .where(F.col("term").isin(list(terms) or [""]))
         .where(F.col("tp").isin(tps or [-1]))
     )
-    return postings.join(F.broadcast(qlit), "term"), n_docs, avgdl, volumes
+
+
+def _matched_blocks(spark: SparkSession, catalog: Catalog, qbatch: list):
+    """Postings blocks for the query terms, with idf attached.
+
+    The query side lives on the driver (tokenized there; guarded by
+    MAX_QUERY_ROWS / MAX_QUERY_TERMS): per-term idf comes from the driver-
+    side df cache (stats_global and df values change only on index commits,
+    so a warm repeat query runs ZERO metadata jobs, just the scoring job
+    itself), and idf ships as broadcast LITERAL rows, so the main job is the
+    pruned postings scan + one broadcast hash join — no stats scan, no query
+    re-tokenization in the plan. Returns (blocks, n_docs, avgdl, volumes)."""
+    rows, df_map, n_docs, avgdl, volumes = _query_plan_meta(catalog, qbatch)
+    qlit = spark.createDataFrame(rows, "query_id int, term string, qtf int, k int, idf double")
+    return _pruned_postings(catalog, df_map).join(F.broadcast(qlit), "term"), n_docs, avgdl, volumes
 
 
 def bm25_topk_naive(spark: SparkSession, catalog: Catalog, queries) -> DataFrame:
@@ -345,12 +353,23 @@ def bm25_topk_wand(
     force a fixed fan-out.
     """
     qbatch = _query_rows(queries)
-    blocks, _, avgdl, volumes = _matched_blocks(spark, catalog, qbatch)
+    rows, df_map, _, avgdl, volumes = _query_plan_meta(catalog, qbatch)
     single_task = False
     if tasks_per_query is None:
         # volume per query = sum df of its terms, already known driver-side
         tasks_map = _task_fanout(volumes, postings_per_task, _max_tasks_per_query(spark))
         single_task = all(v == 1 for v in tasks_map.values())
+        if single_task and len(qbatch) == 1:
+            # interactive fast path: ONE query with fan-out 1 -> the query
+            # constants (qtf, idf, k) ride in the kernel closure instead of a
+            # broadcast-joined literal frame, and coalesce(1) feeds the
+            # pruned scan straight into mapInPandas — a one-stage, one-task,
+            # zero-join, zero-shuffle job (the general plan pays a broadcast
+            # exchange plus the kernel's clustering shuffle).
+            return _wand_single_query_plan(spark, catalog, qbatch[0], rows, avgdl)
+    qlit = spark.createDataFrame(rows, "query_id int, term string, qtf int, k int, idf double")
+    blocks = _pruned_postings(catalog, df_map).join(F.broadcast(qlit), "term")
+    if tasks_per_query is None:
         if len(set(tasks_map.values())) <= 1:
             blocks = blocks.withColumn("tasks_q", F.lit(next(iter(tasks_map.values()), 1)))
         else:
@@ -383,6 +402,88 @@ def bm25_topk_wand(
     dl_root = catalog.path("doclens")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _wand_task_kernel(pdf, avgdl, dl_root)
+
+    cols = ["query_id", "k", "term", "qtf", "idf", "ub", "first_doc", "n_docs", "bucket", "docs_enc", "tfs_enc"]
+    local_topk = blocks.select(*cols, "task").groupBy("query_id", "task").applyInPandas(kernel, schema=RESULT_SCHEMA)
+    if single_task:
+        # every query has fan-out 1, so each kernel's local top-k IS the
+        # final ranked top-k (rank column included) — skip the global-rank
+        # window, its shuffle, and the k-bound join entirely. This is the
+        # interactive tail-query common case: one shuffle, one job.
+        return local_topk
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    ks = spark.createDataFrame([(q, k) for q, _, k in qbatch], "query_id int, k int")
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(ks), "query_id")
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "bm25_score")
+        # no global orderBy: a result sort is one more exchange + job per
+        # query (interactive latency), and the result contract is the
+        # (query_id, rank) KEY, not row order — callers that render sort
+        # the <= n_queries*k rows driver-side (serving.SearchSession does)
+    )
+
+
+def _wand_single_query_plan(
+    spark: SparkSession,
+    catalog: Catalog,
+    qrow: tuple[int, str, int],
+    term_rows: list[tuple[int, str, int, int, float]],
+    avgdl: float,
+) -> DataFrame:
+    """One-stage plan for a single fan-out-1 query: pruned postings scan ->
+    coalesce(1) -> mapInPandas running the shared WAND kernel.
+
+    The general plan's per-query literals (qtf, idf, k) travel in the kernel
+    closure, so there is no broadcast-joined query frame, no exchange of any
+    kind, and exactly one task — the minimal Spark plan for an interactive
+    query (per-job fixed overhead dominates single-query latency at small k).
+    coalesce(1) merges the pruned scan's splits without a shuffle; batches
+    are concatenated before scoring because the kernel's doc-group skipping
+    needs every block of a group in one frame. Memory is bounded by the
+    fan-out-1 precondition: matched volume <= postings_per_task.
+    """
+    query_id, _, k = qrow
+    if not term_rows:  # no query term is in the index -> empty result
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    term_w = {t: (qtf, idf) for _, t, qtf, _, idf in term_rows}
+    dl_root = catalog.path("doclens")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        w = pdf["term"].map(term_w)
+        pdf["qtf"] = np.fromiter((x[0] for x in w), dtype=np.int64, count=len(w))
+        pdf["idf"] = np.fromiter((x[1] for x in w), dtype=np.float64, count=len(w))
+        max_tf = pdf["max_tf"].to_numpy(dtype=np.float64)
+        min_dl = pdf["min_dl"].to_numpy(dtype=np.float64)
+        ub_tf_norm = (max_tf * (K1 + 1.0)) / (max_tf + K1 * (1.0 - B + B * min_dl / avgdl))
+        pdf["ub"] = pdf["idf"].values * ub_tf_norm * pdf["qtf"].values
+        pdf["query_id"] = np.int32(query_id)
+        pdf["k"] = np.int32(k)
+        yield _wand_task_kernel(pdf, avgdl, dl_root)
+
+    scan = _pruned_postings(catalog, term_w).select(
+        "term", "first_doc", "n_docs", "max_tf", "min_dl", "bucket", "docs_enc", "tfs_enc"
+    )
+    return scan.coalesce(1).mapInPandas(run, schema=RESULT_SCHEMA)
+
+
+def _wand_task_kernel(pdf: pd.DataFrame, avgdl: float, dl_root: str) -> pd.DataFrame:
+    """The per-(query, task) block-max WAND scorer (shared by the general
+    applyInPandas plan and the single-query one-stage plan): visits the
+    task's doc-groups in descending upper bound, skips decoding any group
+    whose bound cannot beat the running top-k threshold, and returns the
+    ranked local top-k. Exact — the bound is a true upper bound. Requires
+    ALL of the task's blocks in one frame: group skipping aggregates scores
+    across a group's blocks, so a group split across calls would drop
+    contributions."""
+
+    def _body(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
         k = int(pdf["k"].iloc[0])
         groups = (pdf["first_doc"].values >> DOC_GROUP_BITS).astype(np.int64)
@@ -462,26 +563,7 @@ def bm25_topk_wand(
             }
         )
 
-    cols = ["query_id", "k", "term", "qtf", "idf", "ub", "first_doc", "n_docs", "bucket", "docs_enc", "tfs_enc"]
-    local_topk = blocks.select(*cols, "task").groupBy("query_id", "task").applyInPandas(kernel, schema=RESULT_SCHEMA)
-    if single_task:
-        # every query has fan-out 1, so each kernel's local top-k IS the
-        # final ranked top-k (rank column included) — skip the global-rank
-        # window, its shuffle, and the k-bound join entirely. This is the
-        # interactive tail-query common case: one shuffle, one job.
-        return local_topk
-    w = Window.partitionBy("query_id").orderBy(F.desc("bm25_score"), F.asc("doc_id"))
-    ks = spark.createDataFrame([(q, k) for q, _, k in qbatch], "query_id int, k int")
-    return (
-        local_topk.withColumn("rank", F.row_number().over(w))
-        .join(F.broadcast(ks), "query_id")
-        .where(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "bm25_score")
-        # no global orderBy: a result sort is one more exchange + job per
-        # query (interactive latency), and the result contract is the
-        # (query_id, rank) KEY, not row order — callers that render sort
-        # the <= n_queries*k rows driver-side (serving.SearchSession does)
-    )
+    return _body(pdf)
 
 
 def attach_urls(results: DataFrame, catalog: Catalog) -> DataFrame:

@@ -109,6 +109,29 @@ def test_wand_rank_identity(spark, corpus, built):
     _assert_rank_identical(got, expected[["query_id", "rank", "doc_id", "bm25_score"]])
 
 
+def test_wand_single_query_one_stage_plan_and_identity(spark, corpus, built):
+    """The interactive fast path (one query, fan-out 1) must plan ZERO
+    exchanges — pruned scan -> coalesce(1) -> mapInPandas, no broadcast of a
+    query-literal frame, no clustering shuffle — and stay rank-identical to
+    the oracle. The general engine (forced via tasks_per_query) must agree."""
+    from information_retrieval_images_spark import plans
+
+    _, queries, _, expected = corpus
+    cat, _ = built
+    exp = expected[["query_id", "rank", "doc_id", "bm25_score"]]
+    for row in queries.head(3).itertuples(index=False):
+        df = bm25_topk_wand(spark, cat, [tuple(row)])
+        assert plans.count_exchanges(df) == 0, plans.formatted_plan(df)
+        _assert_rank_identical(
+            df.toPandas(), exp[exp["query_id"] == row.query_id]
+        )
+        # same query through the general (shuffled) engine agrees
+        general = bm25_topk_wand(spark, cat, [tuple(row)], tasks_per_query=2)
+        _assert_rank_identical(
+            general.toPandas(), exp[exp["query_id"] == row.query_id]
+        )
+
+
 def test_query_term_guard(spark, built, monkeypatch):
     """The driver-side term collect is bounded: a batch with more distinct
     terms than MAX_QUERY_TERMS fails loudly instead of OOMing the driver."""
