@@ -11,10 +11,11 @@ candidate buckets — a delete of absent urls touches ZERO docs files.
 Design:
 
 - classic double-hashing bloom (Kirsch–Mitzenmacher): k index functions
-  h1 + i*h2 over m bits, with (h1, h2) the two 64-bit halves of md5(url) —
-  the same hash family the doc-id contract already computes per url
-  (textproc.url_group), identically derivable driver-side in pure Python
-  (membership tests) and executor-side (filter construction).
+  (h1 + i*h2) mod 2^64 mod m, with (h1, h2) the two little-endian 64-bit
+  halves of md5(url) — the same hash family the doc-id contract already
+  computes per url (textproc.url_group). The explicit mod-2^64 wrap makes
+  the probe arithmetic identical driver-side (pure Python, masked) and
+  executor-side (numpy uint64, wraps natively).
 - sizing: BITS_PER_KEY = 10 bits/url with K = 7 hashes -> ~0.8% false
   positives; a false positive only costs scanning one extra bucket.
 - construction is distributed: each input partition builds a partial bitmap
@@ -38,10 +39,12 @@ import os
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 BITS_PER_KEY = 10
 N_HASHES = 7
 BLOOM_SCHEMA = "m long, k int, bits binary"
+_U64 = (1 << 64) - 1
 
 
 def _hash_pair(url: str) -> tuple[int, int]:
@@ -55,11 +58,12 @@ def _bloom_m(n_keys: int) -> int:
 
 
 def bloom_contains(m: int, bits: bytes, url: str) -> bool:
-    """Driver-side membership probe. False => url definitely not in bucket."""
+    """Driver-side membership probe. False => url definitely not in bucket.
+    The & _U64 wrap matches the executor kernel's native uint64 arithmetic."""
     h1, h2 = _hash_pair(url)
     arr = np.frombuffer(bits, dtype=np.uint8)
     for i in range(N_HASHES):
-        idx = (h1 + i * h2) % m
+        idx = ((h1 + i * h2) & _U64) % m
         if not (arr[idx >> 3] >> (idx & 7)) & 1:
             return False
     return True
@@ -68,10 +72,11 @@ def bloom_contains(m: int, bits: bytes, url: str) -> bool:
 def build_bloom(urls_df: DataFrame, n_keys: int) -> tuple[int, int, bytes]:
     """Distributed bitmap build: per-partition partial bitmaps OR'd driver-side.
 
-    The per-url md5 runs inside the Arrow batches (the one per-row Python
-    loop in the engine's write path — the same md5 the id contract computes;
-    at scale swap the driver OR for rdd.treeReduce as noted in the module
-    docstring).
+    No per-row Python anywhere (input-hint contract): the md5 runs JVM-side
+    in whole-stage codegen (``unhex(md5(url))`` — 16 digest bytes per url),
+    and the kernel sets all k probe bits for a whole Arrow batch with one
+    ``np.bitwise_or.at`` scatter per hash index. At scale swap the driver OR
+    for rdd.treeReduce as noted in the module docstring.
     """
     m = _bloom_m(n_keys)
     nbytes = m // 8
@@ -79,14 +84,26 @@ def build_bloom(urls_df: DataFrame, n_keys: int) -> tuple[int, int, bytes]:
     def part(batches):
         bits = np.zeros(nbytes, dtype=np.uint8)
         for pdf in batches:
-            for u in pdf["url"].values:
-                h1, h2 = _hash_pair(u)
-                for i in range(N_HASHES):
-                    idx = (h1 + i * h2) % m
-                    bits[idx >> 3] |= 1 << (idx & 7)
+            if pdf.empty:
+                continue
+            # one C-level join of the 16-byte digests -> (n, 2) uint64 view,
+            # little-endian halves exactly as _hash_pair reads them
+            pairs = np.frombuffer(b"".join(pdf["h16"].tolist()), dtype="<u8").reshape(-1, 2)
+            h1, h2 = pairs[:, 0], pairs[:, 1] | np.uint64(1)
+            for i in range(N_HASHES):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m)  # uint64 wraps = & _U64
+                np.bitwise_or.at(
+                    bits,
+                    (idx >> np.uint64(3)).astype(np.int64),
+                    (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8),
+                )
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    partials = urls_df.select("url").mapInPandas(part, schema="bits binary").collect()
+    partials = (
+        urls_df.select(F.unhex(F.md5("url")).alias("h16"))
+        .mapInPandas(part, schema="bits binary")
+        .collect()
+    )
     acc = np.zeros(nbytes, dtype=np.uint8)
     for r in partials:
         acc |= np.frombuffer(r["bits"], dtype=np.uint8)

@@ -14,7 +14,7 @@ intentional deviation: doc ids of appended docs are ordered within their
 batch, not re-ranked globally (a rebuild renumbers; an append must not).
 
 Cost contract: one append touches ONLY the new bucket — stats rows are
-additive per bucket (index_build.write_bucket_postings), so no full postings
+additive per bucket (index_build.write_bucket), so no full postings
 rescan per micro-batch, and the global (N, sum dl, max doc_id) bookkeeping is
 delta-maintained from the cached stats_global row plus bucket-scoped aggs
 (zero full-corpus jobs per append). The one remaining whole-table read is the
@@ -53,8 +53,7 @@ from .index_build import (
     assign_doc_ids,
     encode_blocks,
     posting_runs,
-    write_bucket_doclens,
-    write_bucket_postings,
+    write_bucket,
 )
 
 
@@ -69,8 +68,8 @@ def encode_bucket_postings(
     """(Re)build one bucket's postings + stats from the docs table — the
     shared bucket-rewrite unit used by append, crash repair and row deletes.
     Idempotent: existing files for the bucket are discarded first — on the
-    parquet path via the bucket-directory overwrite inside
-    write_bucket_postings; on Iceberg via DELETE FROM of the bucket's rows
+    parquet path via the bucket-directory overwrites inside
+    write_bucket; on Iceberg via DELETE FROM of the bucket's rows
     before the append (a plain append would double a crash-retried bucket's
     df and BM25 scores)."""
     if catalog.use_iceberg:
@@ -84,11 +83,7 @@ def encode_bucket_postings(
         runs.repartition(nparts, "term", "doc_group").sortWithinPartitions("term", "doc_id").drop("doc_group")
     )
     blocks = encode_blocks(sorted_runs, avgdl)
-    write_bucket_postings(catalog, blocks, bucket, nparts)
-    write_bucket_doclens(catalog, bucket_docs, bucket)
-    from ..blooms import write_bucket_bloom
-
-    write_bucket_bloom(catalog, bucket_docs, bucket, n_keys=bloom_n_keys)
+    write_bucket(catalog, blocks, bucket_docs, bucket, nparts, n_keys=bloom_n_keys)
 
 
 def _checkpointed_buckets(catalog: Catalog) -> set[int]:

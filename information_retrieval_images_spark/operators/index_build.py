@@ -560,7 +560,7 @@ def build_index(
             continue
         t0 = time.time()
         # partial files from a killed run of this bucket are discarded by the
-        # mode("overwrite") bucket-directory writes in write_bucket_postings
+        # mode("overwrite") bucket-directory writes in write_bucket
         bucket_docs = docs.where(F.col("bucket") == b)
         runs = (
             posting_runs_sql(bucket_docs)
@@ -579,11 +579,7 @@ def build_index(
             .drop("doc_group")
         )
         blocks = encode_blocks(sorted_runs, avgdl)
-        write_bucket_postings(catalog, blocks, b, nparts)
-        write_bucket_doclens(catalog, bucket_docs, b)
-        from ..blooms import write_bucket_bloom
-
-        write_bucket_bloom(catalog, bucket_docs, b, n_keys=per_bucket.get(b, (0, 0))[0])
+        write_bucket(catalog, blocks, bucket_docs, b, nparts, n_keys=per_bucket.get(b, (0, 0))[0])
         _tr(f"bucket{b}_postings_stats")
         nd, toks = per_bucket.get(b, (0, 0))
         wall_ms = int((time.time() - t0) * 1000)
@@ -630,26 +626,77 @@ def write_bucket_postings(catalog: Catalog, blocks: DataFrame, bucket: int, npar
     """
     blocks = blocks.withColumn("tp", term_prefix_expr()).persist()
     try:
-        out = blocks.sortWithinPartitions("tp", "term", "first_doc")
-        if catalog.use_iceberg:
-            catalog.append(out.withColumn("bucket", F.lit(bucket)), "postings")
-        else:
-            out.write.mode("overwrite").partitionBy("tp").parquet(
-                os.path.join(catalog.path("postings"), f"bucket={bucket}")
-            )
-        bstats = (
-            blocks.groupBy("term")
-            .agg(F.sum("n_docs").cast("long").alias("df"))
-            .withColumn("tp", term_prefix_expr())
-            .coalesce(max(1, nparts // 4))
-            .sortWithinPartitions("tp", "term")
+        _write_postings_rows(catalog, blocks, bucket)
+        _write_bucket_stats(catalog, blocks, bucket, nparts)
+    finally:
+        blocks.unpersist()
+        catalog.invalidate_reads()  # direct parquet writes bypass Catalog.write
+
+
+def _write_postings_rows(catalog: Catalog, blocks: DataFrame, bucket: int) -> None:
+    out = blocks.sortWithinPartitions("tp", "term", "first_doc")
+    if catalog.use_iceberg:
+        catalog.append(out.withColumn("bucket", F.lit(bucket)), "postings")
+    else:
+        out.write.mode("overwrite").partitionBy("tp").parquet(
+            os.path.join(catalog.path("postings"), f"bucket={bucket}")
         )
-        if catalog.use_iceberg:
-            catalog.append(bstats.withColumn("bucket", F.lit(bucket)), "stats")
-        else:
-            bstats.write.mode("overwrite").partitionBy("tp").parquet(
-                os.path.join(catalog.path("stats"), f"bucket={bucket}")
-            )
+
+
+def _write_bucket_stats(catalog: Catalog, blocks: DataFrame, bucket: int, nparts: int) -> None:
+    bstats = (
+        blocks.groupBy("term")
+        .agg(F.sum("n_docs").cast("long").alias("df"))
+        .withColumn("tp", term_prefix_expr())
+        .coalesce(max(1, nparts // 4))
+        .sortWithinPartitions("tp", "term")
+    )
+    if catalog.use_iceberg:
+        catalog.append(bstats.withColumn("bucket", F.lit(bucket)), "stats")
+    else:
+        bstats.write.mode("overwrite").partitionBy("tp").parquet(
+            os.path.join(catalog.path("stats"), f"bucket={bucket}")
+        )
+
+
+def write_bucket(
+    catalog: Catalog,
+    blocks: DataFrame,
+    bucket_docs: DataFrame,
+    bucket: int,
+    nparts: int,
+    n_keys: int | None = None,
+) -> None:
+    """Full bucket commit: postings first (the one big job — it also
+    materializes the ``blocks`` cache), then the three independent sidecars
+    — per-term df stats (from the persisted blocks), the doclens array and
+    the url bloom (both from ``bucket_docs``) — submitted CONCURRENTLY from
+    driver threads. Spark's scheduler accepts jobs from multiple driver
+    threads; each sidecar is a small job whose cost at cluster scale is
+    dominated by its fixed driver round-trip while the executors idle, so
+    overlapping them shortens every bucket commit's serial tail (there is
+    one commit per bucket: at production bucket counts the tail is pure
+    serial floor). The writes touch four disjoint directories/tables
+    (postings=, stats=, doclens=, blooms=bucket=B), so no two jobs share a
+    ``_temporary`` staging dir. Failure of any sidecar propagates after all
+    three finish (no partially-awaited commit)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..blooms import write_bucket_bloom
+
+    blocks = blocks.withColumn("tp", term_prefix_expr()).persist()
+    try:
+        _write_postings_rows(catalog, blocks, bucket)
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futs = [
+                ex.submit(_write_bucket_stats, catalog, blocks, bucket, nparts),
+                ex.submit(write_bucket_doclens, catalog, bucket_docs, bucket),
+                ex.submit(write_bucket_bloom, catalog, bucket_docs, bucket, n_keys),
+            ]
+            errs = [f.exception() for f in futs]
+            for e in errs:
+                if e is not None:
+                    raise e
     finally:
         blocks.unpersist()
         catalog.invalidate_reads()  # direct parquet writes bypass Catalog.write

@@ -127,15 +127,10 @@ def test_encode_bucket_postings_iceberg_deletes_before_append(icat, monkeypatch)
     ms.sql.side_effect = lambda q: log.append(("sql", q)) or MagicMock()
     monkeypatch.setattr(incremental, "posting_runs", lambda docs, min_parallelism: MagicMock(name="runs"))
     monkeypatch.setattr(incremental, "encode_blocks", lambda runs, avgdl: MagicMock(name="blocks"))
+    # the whole bucket commit (postings + stats/doclens/bloom sidecars) is one
+    # unit; its internals are orthogonal to the Iceberg SQL sequence under test
     monkeypatch.setattr(
-        incremental, "write_bucket_postings", lambda c, blocks, b, np_: log.append(("write", b))
-    )
-    # sidecars (doclens/bloom) are plain-parquet writes orthogonal to the
-    # Iceberg SQL sequence under test
-    monkeypatch.setattr(incremental, "write_bucket_doclens", lambda c, docs, b: log.append(("doclens", b)))
-    monkeypatch.setattr(
-        "information_retrieval_images_spark.blooms.write_bucket_bloom",
-        lambda c, docs, b, **kw: log.append(("bloom", b)),
+        incremental, "write_bucket", lambda c, blocks, docs, b, np_, n_keys=None: log.append(("write", b))
     )
 
     incremental.encode_bucket_postings(ms, cat, 3, 10.0, 8)
@@ -143,8 +138,7 @@ def test_encode_bucket_postings_iceberg_deletes_before_append(icat, monkeypatch)
     sqls = [q for kind, q in log if kind == "sql"]
     assert "DELETE FROM postings WHERE bucket = 3" in sqls
     assert "DELETE FROM stats WHERE bucket = 3" in sqls
-    writes = [e for e in log if e[0] in ("write", "doclens", "bloom")]
-    assert writes == [("write", 3), ("doclens", 3), ("bloom", 3)]
+    assert ("write", 3) in log
     assert log.index(("write", 3)) > max(
         i for i, e in enumerate(log) if e[0] == "sql"
     ), "append must come after both DELETEs"
