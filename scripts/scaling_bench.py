@@ -622,18 +622,41 @@ def _floor_fit_block(allrows: list[dict], args) -> str:
     )
 
 
-def _best_clean_points(allrows: list[dict], args, engine: str) -> dict[tuple[int, int], tuple[float, int]]:
-    """Best-clean (wall_s, actual_docs) per (n_docs_req, cores) for one engine."""
-    best: dict[tuple[int, int], tuple[float, int]] = {}
+def _clean_cell_walls(allrows: list[dict], args, engine: str) -> dict[tuple[int, int], tuple[list[float], int]]:
+    """All clean build walls + actual doc count per (n_docs_req, cores) cell."""
+    cells: dict[tuple[int, int], tuple[list[float], int]] = {}
     for r in allrows:
         if not is_clean(r, args) or "docs_per_sec" not in r:
             continue
         if r.get("page_kb") != args.page_kb or r.get("engine", "arrow") != engine:
             continue
         key = (r["n_docs_req"], r["cores"])
-        if key not in best or r["build_s"] < best[key][0]:
-            best[key] = (r["build_s"], r["docs"])
-    return best
+        walls, _ = cells.setdefault(key, ([], r["docs"]))
+        walls.append(r["build_s"])
+    return cells
+
+
+def _best_clean_points(allrows: list[dict], args, engine: str) -> dict[tuple[int, int], tuple[float, int]]:
+    """Best-clean (wall_s, actual_docs) per (n_docs_req, cores) for one engine."""
+    return {
+        key: (min(walls), docs)
+        for key, (walls, docs) in _clean_cell_walls(allrows, args, engine).items()
+    }
+
+
+def _median_clean_points(allrows: list[dict], args, engine: str) -> dict[tuple[int, int], tuple[float, int]]:
+    """Median-clean (wall_s, actual_docs) per cell — the robustness companion
+    to best-of-clean: best amplifies cross-corpus weather asymmetry when
+    cells have few samples (differencing two bests taken under different
+    residual conditions can over- or under-state the slope), while the
+    median is insensitive to a single lucky draw."""
+    med: dict[tuple[int, int], tuple[float, int]] = {}
+    for key, (walls, docs) in _clean_cell_walls(allrows, args, engine).items():
+        ws = sorted(walls)
+        n = len(ws)
+        m = ws[n // 2] if n % 2 else (ws[n // 2 - 1] + ws[n // 2]) / 2
+        med[key] = (m, docs)
+    return med
 
 
 def _width_slope(best: dict[tuple[int, int], tuple[float, int]], cores: int):
@@ -688,14 +711,35 @@ def _slope_block(allrows: list[dict], args) -> tuple[str, dict]:
             eff = sl_lo / (4 * sl_hi)
             summ[f"{eng}_slope_{w}to{4 * w}"] = round(eff, 3)
             fmt_pts = lambda pts: ", ".join(f"{d:,} docs -> {w_:.1f} s" for d, w_ in pts)
+            super_note = (
+                " — super-linear: a >1.0 marginal-cost ratio is physically "
+                "impossible for this width pair, so the excess is sampling "
+                "noise (too few clean samples in some contributing cell); "
+                "read it as 'consistent with >=0.8', cross-check the median "
+                "estimate below"
+                if eff > 1.05
+                else ""
+            )
             out.append(
                 f"\n### {eng} engine, {w} -> {4 * w} cores (floor-free slope)\n\n"
                 f"- slope at {w} cores: **{sl_lo * 1000:.3f} ms/doc** over [{fmt_pts(pts_lo)}]\n"
                 f"- slope at {4 * w} cores: **{sl_hi * 1000:.3f} ms/doc** over [{fmt_pts(pts_hi)}]\n"
                 f"- marginal-cost speedup {w} -> {4 * w}: **{sl_lo / sl_hi:.2f}x**\n"
                 f"- **floor-free scaling efficiency = {eff:.3f}** "
-                f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n"
+                f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}){super_note}\n"
             )
+            med = _median_clean_points(allrows, args, eng)
+            mlo, mhi = _width_slope(med, w) or (None,), _width_slope(med, 4 * w) or (None,)
+            if mlo[0] is not None and mhi[0] is not None:
+                meff = mlo[0] / (4 * mhi[0])
+                summ[f"{eng}_slope_med_{w}to{4 * w}"] = round(meff, 3)
+                out.append(
+                    f"- robustness check, median-of-clean walls: slopes "
+                    f"{mlo[0] * 1000:.3f} / {mhi[0] * 1000:.3f} ms/doc -> "
+                    f"**efficiency {meff:.3f}** (median discounts single "
+                    f"lucky draws; best-of-clean remains the headline since "
+                    f"interference only ever slows a leg)\n"
+                )
     if not out:
         return "", summ
     return (
