@@ -283,6 +283,38 @@ def _annotate_ambient(rows: list[dict]) -> list[dict]:
             if "probe_gbs" in nxt:
                 amb = max(amb or 0, nxt["probe_gbs"])
         r["_ambient_after"] = amb
+    return _annotate_frozen_inside(rows)
+
+
+# A bracket-passed sample whose wall exceeds the same cell's best-ever
+# observed wall (ANY weather) by this factor was necessarily frozen
+# mid-leg: host interference can only SLOW a leg, so the cell's fastest
+# sample — gated or not — is a hard lower bound on the achievable wall,
+# and a "clean" sample >=1.5x slower than an already-achieved wall carries
+# >=33% interference and is not a clean-weather measurement, whatever its
+# endpoint probes said (freeze started and resolved inside the leg).
+# Excluding it can only remove slowed samples, never fast ones, so the
+# surviving clean pool is biased toward the truth the criterion asks for.
+FROZEN_INSIDE_RATIO = 1.5
+
+
+def _annotate_frozen_inside(rows: list[dict]) -> list[dict]:
+    best: dict[tuple, float] = {}
+
+    def cell(r):
+        return (
+            r.get("engine", "arrow"), r.get("n_docs_req"), r.get("cores"),
+            r.get("page_kb"), r.get("buckets"), r.get("fmt"),
+        )
+
+    for r in rows:
+        if "build_s" in r and "error" not in r:
+            k = cell(r)
+            if k not in best or r["build_s"] < best[k]:
+                best[k] = r["build_s"]
+    for r in rows:
+        if "build_s" in r and "error" not in r:
+            r["_frozen_inside"] = r["build_s"] > FROZEN_INSIDE_RATIO * best[cell(r)]
     return rows
 
 
@@ -308,6 +340,10 @@ def is_clean(r: dict, args) -> bool:
     if "error" in r or r.get("fmt") != FMT:
         return False
     if r.get("inrun_gbs") is None:
+        return False
+    if r.get("_frozen_inside"):
+        # bracket-passed but internally frozen: wall > FROZEN_INSIDE_RATIO x
+        # the same cell's best-ever observed wall (see _annotate_frozen_inside)
         return False
     closing = max(r.get("probe_post_gbs") or 0, r.get("_ambient_after") or 0)
     return r.get("probe_gbs", 0) >= args.min_probe_gbs and closing >= args.min_probe_gbs
@@ -454,6 +490,13 @@ def _eff_block(allrows, args, n_docs, low, high, engine) -> tuple[str, dict]:
     factor = high / low
     eff = hi["docs_per_sec"] / lo["docs_per_sec"] / factor
     excluded = len(rows) - len(clean)
+    n_frozen = sum(1 for r in rows if r.get("_frozen_inside"))
+    frozen_note = (
+        f" ({n_frozen} of them bracket-passed but internally frozen: wall > "
+        f"{FROZEN_INSIDE_RATIO}x the cell's best-ever observed wall)"
+        if n_frozen
+        else ""
+    )
     waits = sum(
         1
         for r in allrows
@@ -477,7 +520,7 @@ def _eff_block(allrows, args, n_docs, low, high, engine) -> tuple[str, dict]:
 {fmt_leg(lo, clean, low)}
 {fmt_leg(hi, clean, high)}
 
-- clean samples: {len(clean)} (of {len(rows)} measured; {excluded} excluded by the gate, {waits} degraded windows pre-skipped)
+- clean samples: {len(clean)} (of {len(rows)} measured; {excluded} excluded by the gate{frozen_note}, {waits} degraded windows pre-skipped)
 - throughput speedup {low} -> {high} cores ({factor:.0f}x): **{hi['docs_per_sec'] / lo['docs_per_sec']:.2f}x**
 - **scaling efficiency = {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 """
@@ -801,7 +844,14 @@ construction. Bracketing is sound for the efficiency criterion:
 interference only SLOWS a leg (best-of-clean discards slowed samples), and
 the dangerous case — a frozen LOW leg inflating the ratio — requires the
 freeze to persist to the closing probe, which freezes here
-(minutes-to-hours long) do. Reported numbers are best-of-CLEAN per leg;
+(minutes-to-hours long) do. One residual blind spot is closed separately:
+a freeze that starts AND resolves inside a long leg passes both brackets
+while slowing the leg arbitrarily. Since interference can only slow, the
+cell's fastest-ever observed wall (any weather) is a hard lower bound on
+the achievable wall, so a bracket-passed sample slower than
+{FROZEN_INSIDE_RATIO}x that bound is marked internally-frozen and
+excluded from the clean pool (this can only ever remove slowed samples —
+it cannot inflate a ratio). Reported numbers are best-of-CLEAN per leg;
 every raw sample (including excluded and skipped ones) is in
 BENCH/scaling_runs.jsonl.
 {"".join(blocks)}
