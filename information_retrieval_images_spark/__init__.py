@@ -41,4 +41,8 @@ BLOCK_SIZE = 128
 #   3  r3: + term-prefix (tp) partition dirs, incremental stats_global
 #   4  r4: per-posting dls_enc removed (doclens sidecar per (bucket,
 #      doc_group)); p_logical recorded as a format parameter
-INDEX_FORMAT = 4
+#   5  r5: term-prefix modulus (tp_n) recorded as a format parameter — the
+#      tp directory layout is computed from it at build AND query time, so
+#      changing the module default against an existing index would silently
+#      miss postings (same bug class as the r4 p_logical fix)
+INDEX_FORMAT = 5

@@ -42,7 +42,7 @@ class Catalog:
         # a stale key drops the whole cache. This is what makes a warm repeat
         # query one Spark job instead of four (VERDICT r2 "what's wrong #2").
         self._cache_version: object = None
-        self._global_stats: tuple[int, float, int, int, int] | None = None
+        self._global_stats: tuple[int, float, int, int, int, int] | None = None
         self._term_df: dict[str, int] = {}
         self._term_df_cap = 1_000_000  # bound driver memory (~50 MB of strings)
         self._blooms: dict | None = None
@@ -120,8 +120,9 @@ class Catalog:
                 int(d["sum_dl"]),
                 int(d["max_doc_id"]),
                 int(d["p_logical"]),
+                int(d["tp_n"]),
             )
-        n, _, s, m, _ = self._global_stats
+        n, _, s, m, _, _ = self._global_stats
         return n, s, m
 
     def global_query_stats(self) -> tuple[int, float]:
@@ -129,7 +130,7 @@ class Catalog:
         self._check_version()
         if self._global_stats is None:
             self.global_doc_stats()
-        n, avgdl, _, _, _ = self._global_stats
+        n, avgdl, _, _, _, _ = self._global_stats
         return n, avgdl
 
     def p_logical(self) -> int:
@@ -138,6 +139,16 @@ class Catalog:
         if self._global_stats is None:
             self.global_doc_stats()
         return self._global_stats[4]
+
+    def tp_n(self) -> int:
+        """The index's pinned term-prefix directory modulus (format
+        parameter) — readers/writers must compute tp from THIS value, never
+        from the module default (a mismatched modulus silently misses
+        postings; see operators.index_build.TERM_PREFIX_PARTITIONS)."""
+        self._check_version()
+        if self._global_stats is None:
+            self.global_doc_stats()
+        return self._global_stats[5]
 
     def term_dfs(self, terms: list[str], tp_of=None) -> dict[str, int]:
         """Per-term document frequency for a query's term set, memoized.

@@ -170,7 +170,12 @@ def _query_plan_meta(catalog: Catalog, qbatch: list[tuple[int, str, int]]):
             "split the batch — the term IN-list is pushed to the scan via the driver"
         )
     n_docs, avgdl = catalog.global_query_stats()
-    df_map = {t: df for t, df in catalog.term_dfs(terms, tp_of=term_prefix).items() if df > 0}
+    tp_n = catalog.tp_n()  # pinned format parameter — never the module default
+    df_map = {
+        t: df
+        for t, df in catalog.term_dfs(terms, tp_of=lambda t: term_prefix(t, tp_n)).items()
+        if df > 0
+    }
     idf_map = {t: float(bm25_idf(df, n_docs)) for t, df in df_map.items()}
     rows = [
         (q, t, qtf, k, idf_map[t])
@@ -188,8 +193,10 @@ def _pruned_postings(catalog: Catalog, terms) -> DataFrame:
     becomes a pushed parquet predicate -> row-group skipping on the
     term-sorted postings files, AND the term-prefix (tp) partition filter
     prunes whole directories — a k-term query opens at most k of the
-    TERM_PREFIX_PARTITIONS subdirs per bucket."""
-    tps = sorted({term_prefix(t) for t in terms})
+    index's tp_n subdirs per bucket. tp is computed with the INDEX's pinned
+    modulus (catalog.tp_n()), not the module default."""
+    tp_n = catalog.tp_n()
+    tps = sorted({term_prefix(t, tp_n) for t in terms})
     return (
         catalog.read("postings")
         .where(F.col("term").isin(list(terms) or [""]))

@@ -83,7 +83,9 @@ def encode_bucket_postings(
         runs.repartition(nparts, "term", "doc_group").sortWithinPartitions("term", "doc_id").drop("doc_group")
     )
     blocks = encode_blocks(sorted_runs, avgdl)
-    write_bucket(catalog, blocks, bucket_docs, bucket, nparts, n_keys=bloom_n_keys)
+    write_bucket(
+        catalog, blocks, bucket_docs, bucket, nparts, n_keys=bloom_n_keys, tp_n=catalog.tp_n()
+    )
 
 
 def _checkpointed_buckets(catalog: Catalog) -> set[int]:
@@ -192,7 +194,9 @@ def append_bucket(
         n_docs, sum_dl = n0 + n_bucket, sum0 + sum_bucket
     from .index_build import write_stats_global
 
-    avgdl = write_stats_global(catalog, n_docs, sum_dl, max(max0, max_bucket), p_logical)
+    avgdl = write_stats_global(
+        catalog, n_docs, sum_dl, max(max0, max_bucket), p_logical, catalog.tp_n()
+    )
 
     encode_bucket_postings(spark, catalog, bucket, avgdl, nparts, bloom_n_keys=n_bucket)
 

@@ -100,37 +100,43 @@ CHECKPOINT_SCHEMA = "bucket int, status string, n_docs long, n_postings long, wa
 # "id > max_doc_id" <=> "not yet reflected in stats_global" — the invariant
 # crash-repair uses to decide whether orphaned docs were already counted).
 # p_logical pins the doc-id assignment modulus PER INDEX (ids derive from it;
-# see textproc doc-id contract) and format is the on-disk layout version every
-# reader checks (Catalog.global_doc_stats raises a clear rebuild-required
-# error on mismatch instead of a field-not-found crash — ADVICE r3 #4).
+# see textproc doc-id contract), tp_n pins the term-prefix directory modulus
+# (the tp layout is computed from it at build AND query time — a query under a
+# different modulus would silently miss postings), and format is the on-disk
+# layout version every reader checks (Catalog.global_doc_stats raises a clear
+# rebuild-required error on mismatch instead of a field-not-found crash —
+# ADVICE r3 #4).
 GLOBAL_STATS_SCHEMA = (
     "n_docs long, avgdl double, k1 double, b double, sum_dl long, max_doc_id long, "
-    "p_logical int, format int"
+    "p_logical int, tp_n int, format int"
 )
 
-# Second partition dimension on postings/stats: tp = crc32(term) % TP_N.
+# Second partition dimension on postings/stats: tp = crc32(term) % tp_n.
 # Directory layout bucket=B/tp=T means a k-term query prunes to <= k of the
-# TP_N term-prefix directories per bucket (Catalyst PartitionFilters) instead
+# tp_n term-prefix directories per bucket (Catalyst PartitionFilters) instead
 # of opening every bucket file — the inverted-index analogue of IVF probe-time
 # partition pruning (reference vector_db.py:33-42). The driver computes the
 # same crc32 prefix for the query's IN-list (zlib.crc32 == Spark crc32).
-# At 10^12 docs raise TP_N (it bounds files-per-query at k/TP_N of the term
-# space); 16 keeps sandbox file counts sane.
+# TERM_PREFIX_PARTITIONS is only the DEFAULT for new builds: the effective
+# modulus is pinned per index in stats_global (tp_n) and every reader/writer
+# threads the pinned value — at 10^12 docs pass a larger tp_n to build_index
+# (it bounds files-per-query at k/tp_n of the term space); 16 keeps sandbox
+# file counts sane.
 TERM_PREFIX_PARTITIONS = 16
 
 
-def term_prefix_expr(col: str = "term"):
-    return F.pmod(F.crc32(F.encode(F.col(col), "UTF-8")), F.lit(TERM_PREFIX_PARTITIONS)).cast("int")
+def term_prefix_expr(col: str = "term", tp_n: int = TERM_PREFIX_PARTITIONS):
+    return F.pmod(F.crc32(F.encode(F.col(col), "UTF-8")), F.lit(int(tp_n))).cast("int")
 
 
-def term_prefix(term: str) -> int:
+def term_prefix(term: str, tp_n: int = TERM_PREFIX_PARTITIONS) -> int:
     import zlib
 
-    return zlib.crc32(term.encode("utf-8")) % TERM_PREFIX_PARTITIONS
+    return zlib.crc32(term.encode("utf-8")) % int(tp_n)
 
 
 def write_stats_global(
-    catalog: Catalog, n_docs: int, sum_dl: int, max_doc_id: int, p_logical: int
+    catalog: Catalog, n_docs: int, sum_dl: int, max_doc_id: int, p_logical: int, tp_n: int
 ) -> float:
     """Overwrite the single-row global stats table; returns the new avgdl."""
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
@@ -145,6 +151,7 @@ def write_stats_global(
                     int(sum_dl),
                     int(max_doc_id),
                     int(p_logical),
+                    int(tp_n),
                     INDEX_FORMAT,
                 )
             ],
@@ -461,6 +468,7 @@ def build_index(
     num_term_partitions: int | None = None,
     resume: bool = False,
     p_logical: int | None = None,
+    tp_n: int | None = None,
     engine: str = "arrow",
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
@@ -476,6 +484,13 @@ def build_index(
     DIFFERENT value is refused (the rebuilt buckets would renumber documents
     relative to the already-committed ones). Sizing at scale: see the doc-id
     contract in textproc (group ~= <=512 MB of extracted text).
+
+    ``tp_n`` (default TERM_PREFIX_PARTITIONS) is the term-prefix directory
+    modulus — the second pinned format parameter. The query engines read the
+    recorded value from the catalog (never the module constant), so an index
+    built with a different tp_n stays queryable; a resume under a different
+    value is refused for the same reason as p_logical (already-committed
+    buckets' tp directories were laid out under the pinned modulus).
 
     ``engine``: "arrow" (default) — extraction/tokenization in vectorized
     pandas UDFs, the input-hint contract path. "sql" — the whole pipeline up
@@ -515,11 +530,23 @@ def build_index(
                     "from scratch to change it"
                 )
             p_logical = pinned
+            pinned_tp = catalog.tp_n()
+            if tp_n is not None and int(tp_n) != pinned_tp:
+                raise ValueError(
+                    f"tp_n mismatch: index was built with term-prefix modulus "
+                    f"{pinned_tp}, resume requested {tp_n} — already-committed "
+                    "buckets laid out their tp directories under the pinned "
+                    "modulus, so a mixed-modulus index would silently miss "
+                    "postings at query time; rebuild from scratch to change it"
+                )
+            tp_n = pinned_tp
     else:
         for t in ("docs", "postings", "checkpoints", "stats", "stats_global", "doclens", "blooms"):
             catalog.drop(t)
     if p_logical is None:
         p_logical = P_LOGICAL
+    if tp_n is None:
+        tp_n = TERM_PREFIX_PARTITIONS
 
     # Step 0: docs (itself checkpoint #-1: reused verbatim on resume so doc
     # ids are stable across kill/restart). The extracted frame stays cached
@@ -550,7 +577,7 @@ def build_index(
     n_docs = sum(nd for nd, _ in per_bucket.values())
     total_toks = sum(tk for _, tk in per_bucket.values())
     max_doc_id = max((int(r["mx"]) for r in brows if r["mx"] is not None), default=-1)
-    avgdl = write_stats_global(catalog, n_docs, total_toks, max_doc_id, p_logical)
+    avgdl = write_stats_global(catalog, n_docs, total_toks, max_doc_id, p_logical, tp_n)
     _tr("global_stats")
 
     metrics = {"n_docs": n_docs, "avgdl": avgdl, "buckets": {}}
@@ -579,7 +606,9 @@ def build_index(
             .drop("doc_group")
         )
         blocks = encode_blocks(sorted_runs, avgdl)
-        write_bucket(catalog, blocks, bucket_docs, b, nparts, n_keys=per_bucket.get(b, (0, 0))[0])
+        write_bucket(
+            catalog, blocks, bucket_docs, b, nparts, n_keys=per_bucket.get(b, (0, 0))[0], tp_n=tp_n
+        )
         _tr(f"bucket{b}_postings_stats")
         nd, toks = per_bucket.get(b, (0, 0))
         wall_ms = int((time.time() - t0) * 1000)
@@ -592,6 +621,7 @@ def build_index(
                 "k1": K1,
                 "b": B,
                 "p_logical": int(p_logical),
+                "tp_n": int(tp_n),
                 "format": INDEX_FORMAT,
             }
         )
@@ -607,7 +637,13 @@ def build_index(
     return metrics
 
 
-def write_bucket_postings(catalog: Catalog, blocks: DataFrame, bucket: int, nparts: int) -> None:
+def write_bucket_postings(
+    catalog: Catalog,
+    blocks: DataFrame,
+    bucket: int,
+    nparts: int,
+    tp_n: int = TERM_PREFIX_PARTITIONS,
+) -> None:
     """Persist ONE bucket's block rows plus its derived per-term df stats.
 
     The bucket DIRECTORY is the atomic commit/rewrite unit: blocks land under
@@ -624,10 +660,10 @@ def write_bucket_postings(catalog: Catalog, blocks: DataFrame, bucket: int, npar
     sorts keep per-file term runs contiguous for parquet row-group min/max
     pruning (the dynamic-partition writer only guarantees clustering by tp).
     """
-    blocks = blocks.withColumn("tp", term_prefix_expr()).persist()
+    blocks = blocks.withColumn("tp", term_prefix_expr(tp_n=tp_n)).persist()
     try:
         _write_postings_rows(catalog, blocks, bucket)
-        _write_bucket_stats(catalog, blocks, bucket, nparts)
+        _write_bucket_stats(catalog, blocks, bucket, nparts, tp_n)
     finally:
         blocks.unpersist()
         catalog.invalidate_reads()  # direct parquet writes bypass Catalog.write
@@ -643,11 +679,13 @@ def _write_postings_rows(catalog: Catalog, blocks: DataFrame, bucket: int) -> No
         )
 
 
-def _write_bucket_stats(catalog: Catalog, blocks: DataFrame, bucket: int, nparts: int) -> None:
+def _write_bucket_stats(
+    catalog: Catalog, blocks: DataFrame, bucket: int, nparts: int, tp_n: int = TERM_PREFIX_PARTITIONS
+) -> None:
     bstats = (
         blocks.groupBy("term")
         .agg(F.sum("n_docs").cast("long").alias("df"))
-        .withColumn("tp", term_prefix_expr())
+        .withColumn("tp", term_prefix_expr(tp_n=tp_n))
         .coalesce(max(1, nparts // 4))
         .sortWithinPartitions("tp", "term")
     )
@@ -666,6 +704,7 @@ def write_bucket(
     bucket: int,
     nparts: int,
     n_keys: int | None = None,
+    tp_n: int = TERM_PREFIX_PARTITIONS,
 ) -> None:
     """Full bucket commit: postings first (the one big job — it also
     materializes the ``blocks`` cache), then the three independent sidecars
@@ -684,12 +723,12 @@ def write_bucket(
 
     from ..blooms import write_bucket_bloom
 
-    blocks = blocks.withColumn("tp", term_prefix_expr()).persist()
+    blocks = blocks.withColumn("tp", term_prefix_expr(tp_n=tp_n)).persist()
     try:
         _write_postings_rows(catalog, blocks, bucket)
         with ThreadPoolExecutor(max_workers=3) as ex:
             futs = [
-                ex.submit(_write_bucket_stats, catalog, blocks, bucket, nparts),
+                ex.submit(_write_bucket_stats, catalog, blocks, bucket, nparts, tp_n),
                 ex.submit(write_bucket_doclens, catalog, bucket_docs, bucket),
                 ex.submit(write_bucket_bloom, catalog, bucket_docs, bucket, n_keys),
             ]

@@ -137,7 +137,9 @@ def delete_docs(
     from .index_build import write_stats_global
 
     n_docs = n0 - n_deleted
-    avgdl = write_stats_global(catalog, n_docs, sum0 - sum_deleted, max0, catalog.p_logical())
+    avgdl = write_stats_global(
+        catalog, n_docs, sum0 - sum_deleted, max0, catalog.p_logical(), catalog.tp_n()
+    )
 
     # 3. re-encode postings + stats for each affected bucket (the rewrite unit)
     for b in buckets:

@@ -36,7 +36,7 @@ def icat(spark):
     stats_tbl.collect.return_value = [
         _Row(
             n_docs=10, avgdl=10.0, sum_dl=100, max_doc_id=9,
-            p_logical=1024, format=INDEX_FORMAT,
+            p_logical=1024, tp_n=16, format=INDEX_FORMAT,
         )
     ]
     tables = {"stats_global": stats_tbl}
