@@ -15,6 +15,15 @@ the repetitions INTERLEAVED across queries (rep loop outside the query loop)
 — consecutive same-query repeats would share the drift window; interleaving
 decorrelates it. Per-query run arrays are reported in "runs" so a reader can
 see the spread instead of trusting a single draw.
+
+Build legs are additionally PROBE-GATED (VERDICT r4 next-round #2: r4's
+arrow build wall tripled vs r3 and nothing in the artifact could attribute
+it to host weather): every build rep is bracketed by the same 8-process
+memcpy probe the scaling campaign gates on (weather.bw_probe), the per-rep
+probe values ship in the output, a rep is CLEAN iff both bracket probes
+clear the floor, and the headline build number is best-of-CLEAN (falling
+back to best-of-all, flagged "degraded", when no rep is clean) — so a
+round-over-round build regression is attributable from the artifact alone.
 """
 
 from __future__ import annotations
@@ -31,6 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 QUERY_REPS = 3
 BUILD_REPS = 2
 N_SINGLE_QUERIES = 8
+# same floor the campaign pre-gates on (scripts/scaling_bench.py
+# --min-probe-gbs default); healthy windows read ~60-110 GB/s
+MIN_PROBE_GBS = float(os.environ.get("IR_BENCH_MIN_PROBE_GBS", "40"))
 
 
 def main() -> None:
@@ -47,6 +59,7 @@ def main() -> None:
     from information_retrieval_images_spark.operators.bm25 import bm25_topk_naive, bm25_topk_wand
     from information_retrieval_images_spark.operators.index_build import build_index
     from information_retrieval_images_spark.session import get_spark
+    from information_retrieval_images_spark.weather import bw_probe
 
     spark = get_spark(master=f"local[{cpus}]", app_name="ir-bench")
     runs: dict[str, list[float]] = {}
@@ -56,7 +69,7 @@ def main() -> None:
     def record(name: str, secs: float) -> None:
         runs.setdefault(name, []).append(round(secs, 3))
 
-    # --- fulltext engine: build throughput (best-of-N, fresh warehouse each) --
+    # --- fulltext engine: build throughput (probe-gated best-of-clean) -------
     n_docs = max(2000, int(600_000 * sf))
     corpus_path = f"/tmp/ir_bench_corpus_{n_docs}"
     if not os.path.isdir(corpus_path):
@@ -64,14 +77,33 @@ def main() -> None:
     pages = spark.read.parquet(corpus_path)
     wh = f"/tmp/ir_bench_wh_{n_docs}"
     cat = None
-    for _ in range(BUILD_REPS):
+    build_probes: dict[str, list[list[float]]] = {}
+    build_clean: dict[str, list[bool]] = {}
+
+    def timed_build(name: str, **kwargs):
+        """One probe-bracketed build rep: [pre, post] 8-proc memcpy GB/s are
+        recorded per rep; the rep is clean iff both clear MIN_PROBE_GBS."""
+        nonlocal cat
         shutil.rmtree(wh, ignore_errors=True)
         cat = Catalog(spark, wh)
+        pre = bw_probe(8, 1.5)
         t0 = time.time()
-        metrics = build_index(spark, pages, cat, lang="en", n_buckets=2)
-        record("index_build", time.time() - t0)
+        metrics = build_index(spark, pages, cat, lang="en", n_buckets=2, **kwargs)
+        record(name, time.time() - t0)
+        post = bw_probe(8, 1.5)
+        build_probes.setdefault(name, []).append([pre, post])
+        build_clean.setdefault(name, []).append(min(pre, post) >= MIN_PROBE_GBS)
+        return metrics
+
+    def best_of_clean(name: str) -> float:
+        walls = runs[name]
+        clean = [w for w, ok in zip(walls, build_clean[name]) if ok]
+        return min(clean) if clean else min(walls)
+
+    for _ in range(BUILD_REPS):
+        metrics = timed_build("index_build")
     extras["n_docs_indexed"] = metrics["n_docs"]
-    extras["build_docs_per_sec"] = round(metrics["n_docs"] / min(runs["index_build"]), 1)
+    extras["build_docs_per_sec"] = round(metrics["n_docs"] / best_of_clean("index_build"), 1)
 
     # second build datapoint: the all-JVM engine (engine="sql", bit-identical
     # index — tests/test_sql_engine.py). The default arrow path measures the
@@ -79,12 +111,14 @@ def main() -> None:
     # sandbox host's python-process throttling, so the pair separates engine
     # regressions from host weather in round-over-round comparisons.
     for _ in range(BUILD_REPS):
-        shutil.rmtree(wh, ignore_errors=True)
-        cat = Catalog(spark, wh)
-        t0 = time.time()
-        metrics = build_index(spark, pages, cat, lang="en", n_buckets=2, engine="sql")
-        record("index_build_sql", time.time() - t0)
-    extras["build_docs_per_sec_sql"] = round(metrics["n_docs"] / min(runs["index_build_sql"]), 1)
+        metrics = timed_build("index_build_sql", engine="sql")
+    extras["build_docs_per_sec_sql"] = round(metrics["n_docs"] / best_of_clean("index_build_sql"), 1)
+    extras["build_probe_gbs"] = build_probes
+    extras["build_rep_clean"] = build_clean
+    extras["build_probe_floor_gbs"] = MIN_PROBE_GBS
+    extras["build_weather"] = (
+        "clean" if all(any(v) for v in build_clean.values()) else "degraded"
+    )
 
     def _dir_bytes(p: str) -> int:
         total = 0
@@ -138,6 +172,10 @@ def main() -> None:
             record(name, time.time() - t0)
 
     queries = {name: min(r) for name, r in runs.items() if not name.startswith("single_")}
+    # the headline build numbers are best-of-CLEAN (probe-bracketed), not
+    # best-of-all — a degraded-window fluke must not define the round's wall
+    for name in build_clean:
+        queries[name] = best_of_clean(name)
     singles = sorted(min(r) for name, r in runs.items() if name.startswith("single_"))
     extras["bm25_result_rows"] = result_rows
     extras["bm25_wand_sec_per_query"] = round(queries["bm25_wand_50q"] / fixtures.N_QUERIES, 4)

@@ -55,7 +55,12 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
-FMT = 4  # index/code format generation of the measured engine (see __init__)
+# Performance-format generation of the measured engine: samples are only
+# comparable within one generation. Index format v5 (r5) added a metadata-only
+# int to the single-row stats_global table on top of v4 — the physical posting
+# layout, shuffle plan and kernels are identical, so v4 and v5 samples remain
+# one perf generation and r4's accumulated clean samples stay usable.
+FMT = 4
 
 WORKER = r"""
 import json, shutil, sys, time
@@ -131,94 +136,15 @@ shutil.rmtree("/dev/shm/ir_scale_tmp_{cores}", ignore_errors=True)
 """
 
 
-def _bw_burn(secs: float) -> float:
-    import numpy as np
-
-    a = np.ones(50_000_000, dtype=np.uint8)
-    b = np.empty_like(a)
-    t0 = time.time()
-    n = 0
-    while time.time() - t0 < secs:
-        np.copyto(b, a)
-        n += 1
-    return n * 0.05 * 2
-
-
-# Probes run in a FRESH SUBPROCESS SESSION (start_new_session), never in the
-# campaign parent: this host's freezes stick to process groups (observed
-# r4: the long-lived campaign parent's in-process probes read 0.3 GB/s for
-# 6+ minutes while a fresh shell measured 81 GB/s at the same moment). The
-# build workers are fresh subprocesses too, so a fresh-session probe samples
-# the same fate a worker is about to get; an in-parent probe samples a
-# possibly-frozen group no worker will run in.
-_PROBE_CODE = r"""
-import sys, time
-import numpy as np
-import multiprocessing as mp
-
-def burn(secs):
-    a = np.ones(50_000_000, dtype=np.uint8)
-    b = np.empty_like(a)
-    t0 = time.time()
-    n = 0
-    while time.time() - t0 < secs:
-        np.copyto(b, a)
-        n += 1
-    return n * 0.05 * 2
-
-nproc, secs = int(sys.argv[1]), float(sys.argv[2])
-t0 = time.time()
-if nproc == 1:
-    total = burn(secs)
-else:
-    with mp.Pool(nproc) as p:
-        total = sum(p.map(burn, [secs] * nproc))
-print(round(total / max(time.time() - t0 if nproc == 1 else secs, 1e-9), 1))
-"""
-
-
-def _probe_subprocess(nproc: int, secs: float) -> float:
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", _PROBE_CODE, str(nproc), str(secs)],
-            capture_output=True,
-            text=True,
-            timeout=secs * 10 + 30,
-            start_new_session=True,
-        )
-        return float(out.stdout.strip().splitlines()[-1])
-    except Exception:
-        return 0.0  # an unmeasurable window gates itself out
-
-
-def bw_probe(nproc: int = 8, secs: float = 3.0) -> float:
-    """Aggregate memcpy GB/s right now — the host-weather tag for a sample."""
-    return _probe_subprocess(nproc, secs)
-
-
-def bw_rate_single(secs: float = 0.4) -> float:
-    """One-process memcpy GB/s — the in-run weather burst (healthy ~21-24)."""
-    return _probe_subprocess(1, secs)
-
-
-class InRunProber(threading.Thread):
-    """Samples single-proc memcpy bursts every ``period`` s while a leg runs."""
-
-    def __init__(self, period: float = 10.0, burst: float = 0.4):
-        super().__init__(daemon=True)
-        self.period, self.burst = period, burst
-        self.values: list[float] = []
-        # NB: not named _stop — threading.Thread uses a private _stop method
-        self._halt = threading.Event()
-
-    def run(self) -> None:
-        while not self._halt.wait(self.period):
-            self.values.append(bw_rate_single(self.burst))
-
-    def stop(self) -> list[float]:
-        self._halt.set()
-        self.join(timeout=5)
-        return self.values
+# The memcpy weather probes live in information_retrieval_images_spark.weather
+# (single source of truth — bench.py brackets its build legs with the SAME
+# instrument, so driver-bench clean/degraded flags and campaign gates agree).
+sys.path.insert(0, REPO)
+from information_retrieval_images_spark.weather import (  # noqa: E402
+    InRunProber,
+    bw_probe,
+    bw_rate_single,
+)
 
 
 def run_leg(cores: int, corpus: str, buckets: int, engine: str, timeout: int = 1800) -> dict:
