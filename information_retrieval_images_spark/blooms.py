@@ -19,9 +19,11 @@ Design:
 - sizing: BITS_PER_KEY = 10 bits/url with K = 7 hashes -> ~0.8% false
   positives; a false positive only costs scanning one extra bucket.
 - construction is distributed: each input partition builds a partial bitmap
-  (one ``m/8``-byte row), the driver ORs the partials. At 10^9-doc buckets
-  (m/8 ~ 1.25 GB) collect the partials via RDD ``treeReduce(np.bitwise_or)``
-  instead; the sandbox-scale driver OR keeps the plan identical.
+  (one ``m/8``-byte row). Small bitmaps are collected and OR'd driver-side;
+  above TREE_REDUCE_MIN_BYTES the partials are OR'd executor-side via RDD
+  ``treeReduce(np.bitwise_or)`` so the driver receives ONE bitmap instead of
+  nparts of them (at a 10^9-doc bucket m/8 ~ 1.25 GB per partial — a
+  driver-side collect would hold nparts x 1.25 GB).
 - storage: one parquet row (m, k, bits) under ``blooms/bucket=B`` — plain
   parquet in BOTH catalog modes, like the doclens sidecar: it is a driver
   point-lookup table, not a Catalyst scan input.
@@ -45,6 +47,10 @@ BITS_PER_KEY = 10
 N_HASHES = 7
 BLOOM_SCHEMA = "m long, k int, bits binary"
 _U64 = (1 << 64) - 1
+# partial bitmaps at or above this size are OR'd executor-side (treeReduce)
+# instead of collected: 32 MB/partial ~ a 25M-doc bucket — beyond that a
+# driver collect of nparts partials stops fitting driver memory
+TREE_REDUCE_MIN_BYTES = 32 << 20
 
 
 def _hash_pair(url: str) -> tuple[int, int]:
@@ -69,14 +75,20 @@ def bloom_contains(m: int, bits: bytes, url: str) -> bool:
     return True
 
 
-def build_bloom(urls_df: DataFrame, n_keys: int) -> tuple[int, int, bytes]:
-    """Distributed bitmap build: per-partition partial bitmaps OR'd driver-side.
+def build_bloom(
+    urls_df: DataFrame, n_keys: int, tree_reduce_min_bytes: int | None = None
+) -> tuple[int, int, bytes]:
+    """Distributed bitmap build: per-partition partial bitmaps, OR'd
+    driver-side for small bitmaps and executor-side (rdd.treeReduce) above
+    ``tree_reduce_min_bytes`` (default TREE_REDUCE_MIN_BYTES) — the
+    threshold is a parameter so tests can force the tree path.
 
     No per-row Python anywhere (input-hint contract): the md5 runs JVM-side
     in whole-stage codegen (``unhex(md5(url))`` — 16 digest bytes per url),
     and the kernel sets all k probe bits for a whole Arrow batch with one
-    ``np.bitwise_or.at`` scatter per hash index. At scale swap the driver OR
-    for rdd.treeReduce as noted in the module docstring.
+    ``np.bitwise_or.at`` scatter per hash index. The treeReduce leg moves
+    one bitmap per partition up a depth-2 tree, so the driver receives ONE
+    ``m/8``-byte bitmap regardless of parallelism.
     """
     m = _bloom_m(n_keys)
     nbytes = m // 8
@@ -99,13 +111,17 @@ def build_bloom(urls_df: DataFrame, n_keys: int) -> tuple[int, int, bytes]:
                 )
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    partials = (
-        urls_df.select(F.unhex(F.md5("url")).alias("h16"))
-        .mapInPandas(part, schema="bits binary")
-        .collect()
+    partials_df = urls_df.select(F.unhex(F.md5("url")).alias("h16")).mapInPandas(
+        part, schema="bits binary"
     )
+    thresh = TREE_REDUCE_MIN_BYTES if tree_reduce_min_bytes is None else tree_reduce_min_bytes
+    if nbytes >= thresh:
+        acc = partials_df.rdd.map(
+            lambda r: np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
+        ).treeReduce(np.bitwise_or)
+        return m, N_HASHES, acc.tobytes()
     acc = np.zeros(nbytes, dtype=np.uint8)
-    for r in partials:
+    for r in partials_df.collect():
         acc |= np.frombuffer(r["bits"], dtype=np.uint8)
     return m, N_HASHES, acc.tobytes()
 
