@@ -146,8 +146,11 @@ def append_bucket(
     if orphans_elsewhere:
         raise RuntimeError(
             f"buckets {sorted(orphans_elsewhere)} have docs but no checkpoint "
-            "(crashed append); repair them first by re-running append_bucket "
-            "for each before appending to a different bucket"
+            "(crashed write); repair first: if they came from a crashed "
+            "INITIAL build (docs written for all buckets, only some "
+            "checkpointed), re-run build_index(resume=True); if from a "
+            "crashed append, re-run append_bucket for each orphaned bucket id "
+            "— then retry this append"
         )
     if lang is not None:
         new_pages = new_pages.where(F.col("lang") == lang)

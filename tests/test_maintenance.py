@@ -186,3 +186,73 @@ def test_upsert_replaces_content(spark, corpus, tmp_path_factory):
     post = corpus[~corpus["url"].isin(replaced["url"])]
     post = pd.concat([post, upsert_pdf], ignore_index=True)
     _assert_matches_oracle(spark, cat, post)
+
+
+def test_upsert_consults_blooms_via_driver_url_list(spark, corpus, tmp_path_factory, monkeypatch):
+    """VERDICT r4 what's-wrong #4: upsert's delete phase must take the
+    driver-list path (bloom-prunable), not the DataFrame path (which skips
+    the bloom probe and pays a full locate scan). An upsert whose urls are
+    absent from every bloom must run ZERO locate jobs — same read guard as
+    test_blooms."""
+    from information_retrieval_images_spark.operators import maintenance
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("upsbloom")))
+    build_index(spark, spark.createDataFrame(corpus), cat, n_buckets=2)
+
+    seen_types = []
+    orig_delete = maintenance.delete_docs
+
+    def spy(sp, c, urls, **kw):
+        seen_types.append(type(urls))
+        if isinstance(urls, list):
+            # the bloom short-circuit must not touch the docs table
+            orig_read = c.read
+
+            def guarded(name):
+                assert name != "docs", "absent-url upsert delete must not scan docs"
+                return orig_read(name)
+
+            c.read = guarded
+            try:
+                return orig_delete(sp, c, urls, **kw)
+            finally:
+                c.read = orig_read
+        return orig_delete(sp, c, urls, **kw)
+
+    monkeypatch.setattr(maintenance, "delete_docs", spy)
+    donor = fixtures.make_pages_pandas(N_DOCS + 40, seed=991).iloc[N_DOCS + 20 :]
+    donor = donor[donor["lang"] == "en"]  # all-new urls, absent from every bloom
+    res = upsert_docs(spark, spark.createDataFrame(donor), cat, bucket=6000)
+    assert seen_types == [list]
+    assert res["n_replaced"] == 0
+    assert res["n_new"] == len(donor)
+
+
+def test_pending_from_manifest_bounded_to_stream_range(spark, tmp_path_factory):
+    """ADVICE r4 #1: stream restart recovery must not sweep HTTP-ingest
+    buckets (>= serving.HTTP_INGEST_BUCKET_START) into the stream's
+    compaction backlog — bucket namespaces are disjoint by contract."""
+    import json as _json
+
+    from information_retrieval_images_spark.operators.index_build import CHECKPOINT_SCHEMA
+    from information_retrieval_images_spark.serving import HTTP_INGEST_BUCKET_START
+    from information_retrieval_images_spark.streaming import pending_from_manifest
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("pend")))
+    start = 1_000_000
+    rows = [
+        (0, "done", 10, 0, 1, _json.dumps({"job": "build_index"})),          # initial build
+        (start + 1, "done", 5, 0, 1, _json.dumps({"job": "append_bucket"})),  # stream batch
+        (start + 2, "done", 5, 0, 1, _json.dumps({"job": "append_bucket"})),  # stream batch
+        (HTTP_INGEST_BUCKET_START, "done", 1, 0, 1, _json.dumps({"job": "append_bucket"})),  # http ingest
+        (
+            start - 1,
+            "done",
+            5,
+            0,
+            1,
+            _json.dumps({"job": "compact_buckets", "buckets": [start + 1]}),
+        ),  # earlier compaction consumed start+1
+    ]
+    cat.append(spark.createDataFrame(rows, CHECKPOINT_SCHEMA), "checkpoints")
+    assert pending_from_manifest(cat, start) == [start + 2]

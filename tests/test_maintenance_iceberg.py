@@ -55,7 +55,7 @@ def test_delete_docs_iceberg_sql_sequence(icat, monkeypatch):
     # url locator + delta job: urls hit bucket 1 (2 docs, 20 tokens)
     docs = tables.setdefault("docs", MagicMock(name="docs_tbl"))
     docs.join.return_value.groupBy.return_value.agg.return_value.collect.return_value = [
-        {"bucket": 1, "n": 2, "s": 20}
+        {"bucket": 1, "total": 5, "n": 2, "s": 20}
     ]
     monkeypatch.setattr(maintenance.F, "broadcast", lambda df: df)
     encoded = []
@@ -83,9 +83,9 @@ def test_delete_docs_iceberg_sql_sequence(icat, monkeypatch):
     sg_rows = [
         c.args[0]
         for c in ms.createDataFrame.call_args_list
-        if c.args and c.args[0] and isinstance(c.args[0], list) and len(c.args[0][0]) == 8
+        if c.args and c.args[0] and isinstance(c.args[0], list) and len(c.args[0][0]) == 9
     ]
-    assert (8, 10.0, 1.2, 0.75, 80, 9, 1024, INDEX_FORMAT) in [tuple(r[0]) for r in sg_rows]
+    assert (8, 10.0, 1.2, 0.75, 80, 9, 1024, 16, INDEX_FORMAT) in [tuple(r[0]) for r in sg_rows]
 
 
 def test_compact_buckets_iceberg_sql_sequence(icat, monkeypatch):
@@ -130,7 +130,7 @@ def test_encode_bucket_postings_iceberg_deletes_before_append(icat, monkeypatch)
     # the whole bucket commit (postings + stats/doclens/bloom sidecars) is one
     # unit; its internals are orthogonal to the Iceberg SQL sequence under test
     monkeypatch.setattr(
-        incremental, "write_bucket", lambda c, blocks, docs, b, np_, n_keys=None: log.append(("write", b))
+        incremental, "write_bucket", lambda c, blocks, docs, b, np_, n_keys=None, tp_n=16: log.append(("write", b))
     )
 
     incremental.encode_bucket_postings(ms, cat, 3, 10.0, 8)
