@@ -31,6 +31,38 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: 
     )
 
 
+def pending_from_manifest(catalog, next_bucket_start: int) -> list[int]:
+    """Committed micro-batch buckets of ONE stream not yet folded into any
+    compaction — the restart-recovery set for incremental_index_update.
+
+    Bucket-namespace disjointness (ADVICE r4 #1): recovery only claims
+    buckets in the stream's own micro-batch range [next_bucket_start,
+    HTTP_INGEST_BUCKET_START) — an unbounded ``>=`` filter would also sweep
+    HTTP-ingest buckets (serving appends at >= 2_000_000) into the stream's
+    compaction backlog, compacting another writer's buckets."""
+    if not catalog.exists("checkpoints"):
+        return []
+    import json as _json
+
+    from ..serving import HTTP_INGEST_BUCKET_START
+
+    rows = catalog.read("checkpoints").select("bucket", "lineage").collect()
+    compacted: set[int] = set()
+    for r in rows:
+        try:
+            lin = _json.loads(r["lineage"] or "{}")
+        except ValueError:
+            continue
+        if lin.get("job") == "compact_buckets":
+            compacted.update(int(b) for b in lin.get("buckets", []))
+    appended = {
+        int(r["bucket"])
+        for r in rows
+        if next_bucket_start <= int(r["bucket"]) < HTTP_INGEST_BUCKET_START
+    }
+    return sorted(appended - compacted)
+
+
 def incremental_index_update(
     pages_stream: DataFrame,
     catalog,
@@ -59,32 +91,15 @@ def incremental_index_update(
 
     The pending-compaction set is RECOVERED from the checkpoint manifest on
     (re)start, not kept only in memory: micro-batch buckets appended since
-    the last compaction (ids >= next_bucket_start with a committed checkpoint
-    row but not named as a source in any compaction's lineage) re-enter the
-    accumulator, so a stream restart cannot silently strand them uncompacted
-    forever (ADVICE r3 finding #2).
+    the last compaction (ids in this stream's own range — see
+    pending_from_manifest — with a committed checkpoint row but not named as
+    a source in any compaction's lineage) re-enter the accumulator, so a
+    stream restart cannot silently strand them uncompacted forever (ADVICE
+    r3 finding #2) nor claim another writer's buckets (ADVICE r4 #1).
     """
 
     created: list[int] = []
     primed = [False]
-
-    def _pending_from_manifest() -> list[int]:
-        """Committed micro-batch buckets not yet folded into any compaction."""
-        if not catalog.exists("checkpoints"):
-            return []
-        import json as _json
-
-        rows = catalog.read("checkpoints").select("bucket", "lineage").collect()
-        compacted: set[int] = set()
-        for r in rows:
-            try:
-                lin = _json.loads(r["lineage"] or "{}")
-            except ValueError:
-                continue
-            if lin.get("job") == "compact_buckets":
-                compacted.update(int(b) for b in lin.get("buckets", []))
-        appended = {int(r["bucket"]) for r in rows if int(r["bucket"]) >= next_bucket_start}
-        return sorted(appended - compacted)
 
     def next_target() -> int:
         # restart-safe: targets are the ids below next_bucket_start already
@@ -117,7 +132,9 @@ def incremental_index_update(
             # restart recovery: fold buckets stranded by a previous run's
             # in-memory accumulator back into the cadence, and compact
             # immediately if the backlog already meets the cadence
-            created.extend(b for b in _pending_from_manifest() if b not in created)
+            created.extend(
+                b for b in pending_from_manifest(catalog, next_bucket_start) if b not in created
+            )
             primed[0] = True
             maybe_compact()
         if catalog.exists("docs"):
