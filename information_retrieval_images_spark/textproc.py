@@ -88,13 +88,20 @@ def extract_text(html: bytes | str) -> str:
 #   LAST (its & output could otherwise combine into e.g. "&lt;" and be
 #   double-decoded: Python's single pass yields "&lt;" for input
 #   "&amp;lt;", and so does this ordering).
-# - decode('UTF-8') replaces malformed bytes with U+FFFD like Python's
-#   errors="replace" but may merge consecutive bad bytes into one
-#   replacement; byte-identity is therefore guaranteed for VALID UTF-8
-#   (Common-Crawl WARC payloads after charset normalization), which
-#   tests/test_sql_engine.py pins against the Python kernel.
+# - decode('UTF-8'): under Spark 4's ANSI default, malformed bytes THROW
+#   (MALFORMED_CHARACTER_CODING) — the engine requires
+#   spark.sql.legacy.codingErrorAction=true (session.SPARK_CONF sets it;
+#   assign_doc_ids' sql branch sets it defensively) so malformed input
+#   REPLACES with U+FFFD like Python's errors="replace". Measured parity
+#   (tests/test_sql_engine.py fuzz battery): byte-identical on valid UTF-8,
+#   lone bad bytes, truncated multi-byte sequences and invalid continuations;
+#   the ONE known divergence is UTF-8-encoded surrogate byte sequences
+#   (ED A0-BF 80-BF): Python emits one U+FFFD per byte, Java one per
+#   3-byte sequence. Locale lowercase (İ, ẞ, full Unicode) measured
+#   identical between str.lower() and Spark lower().
 # extract_text_series remains the normative contract kernel (the oracle runs
-# it); the expression is an optimization proven equal on the test corpus.
+# it); the expression is an optimization proven equal on the fuzz battery
+# minus the surrogate-bytes case above.
 
 _J_STRIP = r"(?isU)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->|<[^>]*>"
 _J_WS = r"(?U)[\s\x1c-\x1f]+"

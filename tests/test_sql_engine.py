@@ -41,7 +41,28 @@ EDGE_HTMLS = [
     b"&amp;lt; &amp;amp; x&amp;nbsp;y",
     b"<p>unicode \xc3\xa9\xc3\xa0 &amp; \xe2\x82\xac10</p>",
     b"nbsp run a\xc2\xa0\xc2\xa0b",  # U+00A0 is Python \s — must collapse
+    # --- non-ASCII / malformed-UTF-8 fuzz battery (ADVICE r4 #4): real web
+    # corpora carry all of these; decode parity needs
+    # spark.sql.legacy.codingErrorAction=true (session.SPARK_CONF) or the
+    # JVM path THROWS instead of replacing
+    b"<p>caf\xc3\xa9 na\xc3\xafve \xe6\xbc\xa2\xe5\xad\x97</p>",  # multibyte
+    b"<p>bad \xff\xfe bytes</p>",  # lone invalid bytes -> U+FFFD each
+    b"<p>trunc \xe6\xbc</p>",  # truncated 3-byte sequence at end
+    b"<p>\xc3\x28</p>",  # invalid continuation byte
+    b"\xf0\x9f\x98<p>lead-trunc</p>",  # truncated 4-byte at start
+    "<p>İstanbul Iı dotted</p>".encode(),  # Turkish dotted/dotless I
+    "<p>ẞ sharp-s</p>".encode(),  # capital sharp s
+    "<p>sep line paranel</p>".encode(),  # Unicode separators
+    b"<p>emoji \xf0\x9f\x98\x80 ok</p>",
+    "<p>ZĀ́LGO á combining</p>".encode(),
+    b"<script>x</script><p>\x1c\x1d\x1e\x1f seps</p>",  # 0x1C-1F: Python \s
 ]
+
+# the ONE known decode divergence (textproc JVM-replica notes): UTF-8-encoded
+# surrogate byte sequences — Python replaces each byte with U+FFFD, Java the
+# whole 3-byte sequence with one. Pinned here so a behavior change (either
+# side) is caught and the caveat stays honest.
+SURROGATE_BYTES_HTML = b"<p>mix \xed\xa0\x80 surrogate-bytes</p>"
 
 
 def test_extract_expr_matches_python_kernel(spark):
@@ -52,6 +73,28 @@ def test_extract_expr_matches_python_kernel(spark):
     ).collect()
     got = [r["text"] for r in got_rows]
     assert got == want, list(zip(got, want))
+
+
+def test_extract_expr_lowercase_parity(spark):
+    """The analyzer lowercases downstream; Spark lower() must agree with
+    Python str.lower() on the full battery (Turkish İ, ẞ, multibyte)."""
+    want = [t.lower() for t in extract_text_series(pd.Series(EDGE_HTMLS))]
+    df = spark.createDataFrame([(h,) for h in EDGE_HTMLS], "html binary")
+    got = [
+        r["t"] for r in df.select(F.lower(extract_text_expr(F.col("html"))).alias("t")).collect()
+    ]
+    assert got == want, list(zip(got, want))
+
+
+def test_extract_expr_surrogate_bytes_known_divergence(spark):
+    """Pin the ONE known decode divergence: surrogate byte sequences yield
+    one U+FFFD per BYTE in Python, one per SEQUENCE in the JVM. If either
+    side changes, the documented caveat must be re-evaluated."""
+    py = extract_text_series(pd.Series([SURROGATE_BYTES_HTML]))[0]
+    df = spark.createDataFrame([(SURROGATE_BYTES_HTML,)], "html binary")
+    jv = df.select(extract_text_expr(F.col("html")).alias("t")).collect()[0]["t"]
+    assert py == "mix ��� surrogate-bytes"
+    assert jv == "mix � surrogate-bytes"
 
 
 def test_extract_expr_matches_on_fixture_corpus(spark):
