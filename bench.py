@@ -88,7 +88,9 @@ def main() -> None:
         cat = Catalog(spark, wh)
         pre = bw_probe(8, 1.5)
         t0 = time.time()
-        metrics = build_index(spark, pages, cat, lang="en", n_buckets=2, **kwargs)
+        metrics = build_index(
+            spark, pages, cat, lang="en", n_buckets=2, bucket_concurrency=2, **kwargs
+        )
         record(name, time.time() - t0)
         post = bw_probe(8, 1.5)
         build_probes.setdefault(name, []).append([pre, post])

@@ -32,7 +32,22 @@ SPARK_CONF = {
     # Partition sizing: at 100 TB these come from cluster conf; locally keep
     # shuffle partitions near core count so tiny SFs don't drown in tasks.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # FAIR scheduling across pools: concurrent driver threads (overlapped
+    # bucket pipelines in build_index, sidecar commits in write_bucket,
+    # concurrent /search requests) each tag their jobs with a pool so one
+    # thread's long stage cannot starve another's small commit job. Pools are
+    # created on demand (no allocation file): default per-pool config, FAIR
+    # round-robin ACROSS pools, plain FIFO for everything in the default pool
+    # — single-threaded behavior is unchanged.
+    "spark.scheduler.mode": "FAIR",
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # decode(html, 'UTF-8') with REPLACE semantics instead of ANSI throw —
+    # required by the all-JVM build path (engine="sql"): real web corpora
+    # contain malformed UTF-8, Python's errors="replace" substitutes U+FFFD,
+    # and without this conf the JVM replica CRASHES the build on the first
+    # bad byte instead (textproc.extract_text_expr; runtime-settable, also
+    # set defensively by assign_doc_ids' sql branch).
+    "spark.sql.legacy.codingErrorAction": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",

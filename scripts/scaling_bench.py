@@ -56,11 +56,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 # Performance-format generation of the measured engine: samples are only
-# comparable within one generation. Index format v5 (r5) added a metadata-only
-# int to the single-row stats_global table on top of v4 — the physical posting
-# layout, shuffle plan and kernels are identical, so v4 and v5 samples remain
-# one perf generation and r4's accumulated clean samples stay usable.
-FMT = 4
+# comparable within one generation. Gen 5 (r5) overlaps bucket pipelines
+# (build_index bucket_concurrency=2), which shrinks the width-independent
+# serial commit floor — pooling gen-4 (serial) and gen-5 (overlapped) walls
+# in one best-of-clean cell could fabricate an efficiency pass (e.g. old
+# narrow wall vs new wide wall), so r4 samples are excluded from gen-5
+# reports. (The r5 index-format bump itself — the tp_n metadata int — is
+# perf-neutral; the plan change is what moves the generation.)
+FMT = 5
 
 WORKER = r"""
 import json, shutil, sys, time
@@ -116,7 +119,8 @@ def tree_cpu_s() -> float:
 cpu0 = tree_cpu_s()
 t0 = time.time()
 m = build_index(spark, pages, cat, lang="en", n_buckets={buckets},
-                num_term_partitions={cores}, engine={engine!r})
+                num_term_partitions={cores}, engine={engine!r},
+                bucket_concurrency=2)
 dt = time.time() - t0
 cpu_build = tree_cpu_s() - cpu0
 from information_retrieval_images_spark import fixtures

@@ -151,3 +151,55 @@ def test_resume_reuses_docs_without_reassign(spark, pages_df, tmp_path_factory):
     metrics = build_index(spark, pages_df, cat, n_buckets=2, resume=True)
     assert all(v == "resumed" for v in metrics["buckets"].values())
     assert _docs_file_state(cat) == before
+
+
+class FailOneCheckpointCatalog(Catalog):
+    """Thread-safe: exactly the FIRST checkpoint append raises (simulating a
+    crash of one bucket pipeline while concurrent pipelines keep running)."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        import threading
+
+        self._lock = threading.Lock()
+        self.armed = True
+
+    def append(self, df, name):
+        if name == "checkpoints":
+            with self._lock:
+                if self.armed:
+                    self.armed = False
+                    raise RuntimeError("simulated crash before checkpoint commit")
+        super().append(df, name)
+
+
+def test_concurrent_bucket_build_kill_resume_identical(spark, pages_df, tmp_path_factory):
+    """bucket_concurrency > 1 keeps the checkpoint contract: a crash in one
+    bucket pipeline leaves it un-checkpointed while concurrent pipelines
+    commit; resume rebuilds exactly the missing buckets and the final index
+    is bit-identical to a serial golden build."""
+    golden_cat = Catalog(spark, str(tmp_path_factory.mktemp("cgolden")))
+    build_index(spark, pages_df, golden_cat, n_buckets=3)
+
+    cat = FailOneCheckpointCatalog(spark, str(tmp_path_factory.mktemp("ckilled")))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index(spark, pages_df, cat, n_buckets=3, bucket_concurrency=2)
+    done = cat.read("checkpoints").count()
+    assert done == 2, "the two surviving pipelines committed"
+
+    metrics = build_index(spark, pages_df, cat, n_buckets=3, resume=True, bucket_concurrency=2)
+    assert sum(v == "resumed" for v in metrics["buckets"].values()) == 2
+    got, want = _postings_key(cat), _postings_key(golden_cat)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_concurrent_bucket_build_matches_serial(spark, pages_df, tmp_path_factory):
+    """Uninterrupted concurrent build == serial build, bit for bit."""
+    a = Catalog(spark, str(tmp_path_factory.mktemp("ser")))
+    build_index(spark, pages_df, a, n_buckets=3)
+    b = Catalog(spark, str(tmp_path_factory.mktemp("conc")))
+    build_index(spark, pages_df, b, n_buckets=3, bucket_concurrency=3)
+    pd.testing.assert_frame_equal(_postings_key(a), _postings_key(b))
+    sa = a.read("stats_global").toPandas()
+    sb = b.read("stats_global").toPandas()
+    pd.testing.assert_frame_equal(sa, sb)
