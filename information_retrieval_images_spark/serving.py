@@ -19,11 +19,14 @@ Two layers:
   ``GET /search?q=...&k=10`` returning the reference's response shape
   ``{"query": ..., "results": [{"rank", "doc_id", "url", "bm25_score"}]}``
   and ``POST /append`` taking ``{"pages": [{"url", "html" (base64),
-  "lang"}, ...]}``. Single-threaded by design: the Spark driver serializes
-  query jobs anyway; horizontal serving scale comes from running several
-  driver replicas against the same (immutable-between-commits) index tables
-  — read-only replicas serve /search; ingest goes to ONE writer replica
-  (appends are serialized, operators.incremental).
+  "lang"}, ...]}``. The server is THREADED for /search: concurrent queries
+  are independent read-only jobs, each tagged with its own FAIR scheduler
+  pool (session.SPARK_CONF sets spark.scheduler.mode=FAIR) so the driver
+  overlaps them instead of queueing one behind another's stages. /append
+  stays strictly serialized behind a lock (the append contract —
+  operators.incremental — requires it). Horizontal scale beyond one driver
+  still comes from read-only replicas over the same
+  immutable-between-commits index tables, with ingest on ONE writer.
 
 No new dependencies: stdlib http only. The reference's rate-limit sleep
 (``server.py:152``, sleep(4) per Gemini call) has no analogue — scoring is
@@ -33,8 +36,10 @@ local to the cluster.
 from __future__ import annotations
 
 import base64
+import itertools
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -57,16 +62,29 @@ class SearchSession:
         self.spark = spark
         self.catalog = Catalog(spark, warehouse)
         self.engine = bm25_topk_wand if engine == "wand" else bm25_topk_naive
-        self._next_qid = 0
+        self._qid_iter = itertools.count()  # atomic under the GIL
+        # appends are strictly serialized (operators.incremental contract);
+        # the threaded HTTP server funnels every /append through this lock
+        self._append_lock = threading.Lock()
 
     def search(self, query_text: str, k: int = 10) -> list[dict]:
-        """One query -> ranked [{rank, doc_id, url, bm25_score}, ...]."""
-        qid = self._next_qid
-        self._next_qid += 1
+        """One query -> ranked [{rank, doc_id, url, bm25_score}, ...].
+
+        Thread-safe and overlappable: each call tags its jobs with its own
+        FAIR scheduler pool (local properties are per-Python-thread under
+        PySpark's pinned-thread mode), so two clients' independent read-only
+        scoring jobs round-robin on the cluster instead of head-of-line
+        blocking behind each other's stages."""
+        qid = next(self._qid_iter)
         # pass the batch as a plain list: the engine normalizes driver-side,
         # so no LocalTableScan collect job is spent on the query row itself
         qbatch = [(qid, query_text, int(k))]
-        rows = attach_urls(self.engine(self.spark, self.catalog, qbatch), self.catalog).collect()
+        sc = self.spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"ir_search_{qid % 16}")
+        try:
+            rows = attach_urls(self.engine(self.spark, self.catalog, qbatch), self.catalog).collect()
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
         return [
             {
                 "rank": int(r["rank"]),
@@ -83,9 +101,15 @@ class SearchSession:
         over operators.incremental.append_bucket (anti-join dedup, doc-id
         continuation, bucket-scoped encode, checkpoint commit all apply).
         Returns the append metrics; queries see the new docs immediately
-        (the version-keyed metadata caches invalidate on the commit)."""
+        (the version-keyed metadata caches invalidate on the commit).
+        Serialized behind the session's append lock — concurrent HTTP
+        ingest must not interleave (operators.incremental contract)."""
         from .operators.incremental import _checkpointed_buckets, append_bucket
 
+        with self._append_lock:
+            return self._append_locked(pages, bucket, lang, _checkpointed_buckets, append_bucket)
+
+    def _append_locked(self, pages, bucket, lang, _checkpointed_buckets, append_bucket) -> dict:
         if bucket is None:
             used = [b for b in _checkpointed_buckets(self.catalog) if b >= HTTP_INGEST_BUCKET_START]
             bucket = (max(used) + 1) if used else HTTP_INGEST_BUCKET_START
@@ -110,10 +134,14 @@ class SearchSession:
         return append_bucket(self.spark, df, self.catalog, bucket, lang=lang)
 
 
-def make_http_server(session: SearchSession, host: str = "127.0.0.1", port: int = 8080) -> HTTPServer:
+def make_http_server(
+    session: SearchSession, host: str = "127.0.0.1", port: int = 8080
+) -> ThreadingHTTPServer:
     """HTTP wrapper: GET /search?q=...&k=10 (reference server.py:128-177)
     and POST /append with {"pages": [{"url", "html" base64, "lang"}, ...]}
-    (reference ingest mutations server.py:50-101)."""
+    (reference ingest mutations server.py:50-101). Threaded: /search
+    requests overlap (independent read-only jobs in per-request FAIR
+    pools); /append serializes inside SearchSession.append."""
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj: dict) -> None:
@@ -176,4 +204,4 @@ def make_http_server(session: SearchSession, host: str = "127.0.0.1", port: int 
         def log_message(self, *args):  # quiet: the driver log is the log
             pass
 
-    return HTTPServer((host, port), Handler)
+    return ThreadingHTTPServer((host, port), Handler)

@@ -123,3 +123,42 @@ def test_http_append_roundtrip(spark, tmp_path_factory):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_search_requests_overlap(served, monkeypatch):
+    """VERDICT r4 stretch #8: the server must handle two /search requests
+    CONCURRENTLY (not head-of-line). Deterministic overlap proof: the engine
+    is wrapped in a barrier only two simultaneous in-flight requests can
+    pass — a serialized server deadlocks the barrier and fails the timeout.
+    Rank identity under concurrency is asserted on the real responses."""
+    import urllib.request
+
+    session, idx = served
+    barrier = threading.Barrier(2, timeout=60)
+    real_engine = session.engine
+
+    def barriered(spark, catalog, qbatch, **kw):
+        barrier.wait()  # passes only when BOTH requests are in-flight
+        return real_engine(spark, catalog, qbatch, **kw)
+
+    monkeypatch.setattr(session, "engine", barriered)
+    srv = make_http_server(session, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        results = {}
+
+        def client(q):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/search?q={q}&k=3", timeout=120) as r:
+                results[q] = json.loads(r.read())
+
+        c1 = threading.Thread(target=client, args=("term000000",))
+        c2 = threading.Thread(target=client, args=("term000001",))
+        c1.start(); c2.start(); c1.join(120); c2.join(120)
+        assert set(results) == {"term000000", "term000001"}
+        for q, body in results.items():
+            want = oracle_topk(idx, q, k=3)
+            assert [r["url"] for r in body["results"]] == [u for _, u, _ in want], q
+    finally:
+        srv.shutdown()
