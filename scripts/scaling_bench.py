@@ -56,14 +56,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 # Performance-format generation of the measured engine: samples are only
-# comparable within one generation. Gen 5 (r5) overlaps bucket pipelines
-# (build_index bucket_concurrency=2), which shrinks the width-independent
-# serial commit floor — pooling gen-4 (serial) and gen-5 (overlapped) walls
-# in one best-of-clean cell could fabricate an efficiency pass (e.g. old
-# narrow wall vs new wide wall), so r4 samples are excluded from gen-5
-# reports. (The r5 index-format bump itself — the tp_n metadata int — is
-# perf-neutral; the plan change is what moves the generation.)
-FMT = 5
+# comparable within one generation. r5 audit: campaign legs run --buckets 1,
+# where build_index's new bucket_concurrency is a NO-OP (nothing to overlap),
+# and every other r5 change on the buckets=1 build path is plan-neutral
+# (tp_n is a metadata int; FAIR mode adds no pool to single-threaded jobs;
+# codingErrorAction only alters decode's malformed-byte handling; doclens
+# scoping is query-side) — so r4 and r5 campaign samples remain ONE perf
+# generation and r4's accumulated clean samples stay usable. The overlapped-
+# bucket plan (bucket_concurrency=2 at n_buckets>1, used by bench.py) is
+# measured by the dedicated fixed-corpus A/B in BENCH/BASELINE.md, not by
+# pooling mixed-plan samples into these cells.
+FMT = 4
 
 WORKER = r"""
 import json, shutil, sys, time
@@ -133,7 +136,7 @@ cpu_s = tree_cpu_s()
 spark.stop()
 print("RESULT " + json.dumps({{"cores": {cores}, "build_s": round(dt, 2),
     "docs": m["n_docs"], "docs_per_sec": round(m["n_docs"] / dt, 1),
-    "query_batch_s": round(qsec, 2),
+    "query_batch_s": round(qsec, 2), "bucket_conc": 2,
     "cpu_s_children": round(cpu_s, 1), "cpu_build_s": round(cpu_build, 1)}}))
 shutil.rmtree("/dev/shm/ir_scale_wh_{cores}", ignore_errors=True)
 shutil.rmtree("/dev/shm/ir_scale_tmp_{cores}", ignore_errors=True)
