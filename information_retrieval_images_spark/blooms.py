@@ -148,22 +148,31 @@ def write_bucket_bloom(catalog, bucket_docs: DataFrame, bucket: int, n_keys: int
 
 def load_blooms(catalog) -> dict[int, tuple[int, bytes]]:
     """bucket -> (m, bits) for every bucket with a bloom. Missing buckets are
-    simply absent — callers must treat them as might-contain."""
+    simply absent — callers must treat them as might-contain.
+
+    ONE read of the whole ``blooms`` tree (bucket comes back as the hive
+    partition column) instead of one Spark job per bucket directory — at
+    10^4-10^5 production buckets a per-bucket loop is 10^4 driver job
+    round-trips on the first delete after any commit. Executor-side via
+    pyarrow (the rows are driver point-lookup data, not a Catalyst input,
+    same as the doclens sidecar) — zero Spark jobs."""
+    import pyarrow.dataset as ds
+
     root = catalog.path("blooms")
     if not os.path.isdir(root):
         return {}
-    out: dict[int, tuple[int, bytes]] = {}
-    for name in os.listdir(root):
-        if not name.startswith("bucket="):
-            continue
-        b = int(name.split("=", 1)[1])
-        try:
-            rows = catalog.spark.read.parquet(os.path.join(root, name)).collect()
-        except Exception:
-            continue
-        if rows:
-            out[b] = (int(rows[0]["m"]), bytes(rows[0]["bits"]))
-    return out
+    try:
+        tbl = ds.dataset(root, format="parquet", partitioning="hive").to_table(
+            columns=["bucket", "m", "bits"]
+        )
+    except Exception:
+        return {}  # mid-rewrite partial tree: treat as no blooms (no false negatives)
+    return {
+        int(b): (int(m), bytes(bits))
+        for b, m, bits in zip(
+            tbl["bucket"].to_pylist(), tbl["m"].to_pylist(), tbl["bits"].to_pylist()
+        )
+    }
 
 
 def candidate_buckets(
