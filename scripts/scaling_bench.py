@@ -802,6 +802,17 @@ the arrow legs state the contract path's number under clean weather. On a
 real cluster Python workers are spread across nodes, not co-scheduled onto
 one oversold memory bus.
 
+## Overlapped bucket pipelines (fixed-corpus A/B)
+
+`build_index(bucket_concurrency=2)` overlaps each bucket's fixed driver/
+commit tail with the next bucket's compute (VERDICT r4 what's-wrong #5).
+The campaign legs above run --buckets 1 where that is a no-op; the effect
+is measured by the dedicated fixed-corpus A/B — same corpus, same width,
+n_buckets=4, the ONLY variable is bucket_concurrency=1 vs 2 — in
+**BENCH/OVERLAP_AB.md** (raw samples: BENCH/overlap_ab_runs.jsonl), probe-
+bracketed with the same gate as the campaign. bench.py's build legs run
+the overlapped plan (n_buckets=2, bucket_concurrency=2).
+
 Probe range observed across the whole campaign: {probes[0] if probes else 0} - {probes[-1] if probes else 0} GB/s
 ({len(probes)} probes). Measured {time.strftime('%Y-%m-%d %H:%M:%S')}; regenerate with
 `python scripts/scaling_bench.py --campaign --engine <e> && python scripts/scaling_bench.py --report`.
