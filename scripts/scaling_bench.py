@@ -864,7 +864,10 @@ def main() -> None:
     ap.add_argument("--engine", default="arrow",
                     help="comma-separated build engines to measure: arrow, sql")
     ap.add_argument("--report-engines", default="arrow,sql")
-    ap.add_argument("--min-probe-gbs", type=float, default=60.0)
+    # 40.0 is the documented gate floor (BENCH/BASELINE.md "Gating"): healthy
+    # windows read 60-110, frozen ones <1, and r4's accumulated clean pool was
+    # gated at 40 — a different default here would silently re-gate history.
+    ap.add_argument("--min-probe-gbs", type=float, default=40.0)
     ap.add_argument("--min-inrun-gbs", type=float, default=8.0)
     ap.add_argument("--min-inrun-frac", type=float, default=0.8)
     ap.add_argument("--target-clean", type=int, default=3)
