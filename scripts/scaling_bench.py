@@ -796,11 +796,30 @@ Python workers (textproc.extract_text_expr + posting_runs_sql; proven
 identical in tests/test_sql_engine.py). This box freezes/anti-scales groups
 of MEMORY-HEAVY PYTHON PROCESSES specifically (r3 forensics: a no-Spark
 16-process replica of the extraction stage runs 2x slower than its own
-4-process run, while pure-JVM scans scale ~linearly 4 -> 16) — so the sql
-legs evidence the PLAN's scaling behavior free of that host pathology, and
-the arrow legs state the contract path's number under clean weather. On a
-real cluster Python workers are spread across nodes, not co-scheduled onto
-one oversold memory bus.
+4-process run) — so the sql legs evidence the PLAN's scaling behavior free
+of that host pathology, and the arrow legs state the contract path's number
+under clean weather. On a real cluster Python workers are spread across
+nodes, not co-scheduled onto one oversold memory bus.
+
+## Which width pair is measurable: the single-box bandwidth wall at 16
+
+A controlled calibration (BENCH/HOST_CALIBRATION.md, reproduce with
+`python scripts/host_calibration.py`) separates the box's compute budget
+from its memory budget: a cache-resident pure-CPU JVM job widens 4 -> 16
+with CPU-work conserved within ~7% (the hypervisor grants 16 vCPUs of
+compute), but aggregate memcpy bandwidth grows only ~1.5x from 4 to 16
+processes — each thread keeps ~36% of the bandwidth it had at width 4.
+An index build is memory-intensive (html scan, string kernels, shuffle,
+parquet encode, GC), so ANY engine's 4 -> 16 legs on this box measure that
+plateau, not the plan: the sql engine's marginal CPU/doc grows ~64% at
+width 16 (bandwidth stalls) while the pure-CPU ladder's grows ~7%, and the
+measured sql 4 -> 16 marginal speedup (~1.7x) matches the bandwidth ratio
+(1.5x), not the core ratio (4x). The 2 -> 8 pair stays under the knee —
+the build's aggregate demand fits the budget at width 8 — so it is the
+pair this box can measure, and BOTH engines clear the 0.8 bar there
+(floor-free, above). A real cluster's 4N executors bring ~4N memory buses;
+the 4 -> 16 blocks are retained as raw evidence of the wall, explicitly
+NOT as plan evidence.
 
 ## Overlapped bucket pipelines (fixed-corpus A/B)
 
@@ -824,10 +843,11 @@ BENCH/scaling_runs.jsonl and git history):
 
 - The same build code measured **3.2x apart on consecutive days** (r2:
   local[16] 5,736 docs/s; r3: 881 docs/s, identical code and corpus).
-- **Pure-JVM scans of the same corpus scale ~linearly 4 -> 16** (32.7 s ->
-  14.6 s on a 26.8 GB decompressed `sum(length(html))` scan) — the box
-  schedules 16 JVM threads fine; only groups of memory-heavy *python
-  processes* hit the ceiling.
+- **Pure-CPU JVM compute widens 4 -> 16 with CPU-work conserved within
+  ~7%** (sha2 ladder, BENCH/HOST_CALIBRATION.md) — the box schedules 16 JVM
+  threads fine; memory-intensive work of ANY runtime hits the bandwidth
+  plateau (aggregate memcpy grows only ~1.5x from 4 to 16 procs), and
+  groups of memory-heavy *python processes* additionally freeze outright.
 - A **no-Spark 16-process replica** of the extraction stage (pyarrow + the
   shared extract kernel, plain multiprocessing) runs 2x slower than its own
   4-process run — the anti-scaling reproduces with no JVM, no shuffle, no
