@@ -39,6 +39,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 QUERY_REPS = 3
 BUILD_REPS = 2
+# when every base rep of a build leg lands in a degraded weather window,
+# top up with extra reps until one clean bracket exists (or the cap hits) —
+# a flagged best-of-all fallback is a last resort, not the first answer
+BUILD_REPS_MAX = 4
 N_SINGLE_QUERIES = 8
 # same floor the campaign pre-gates on (scripts/scaling_bench.py
 # --min-probe-gbs default); healthy windows read ~60-110 GB/s
@@ -102,8 +106,18 @@ def main() -> None:
         clean = [w for w, ok in zip(walls, build_clean[name]) if ok]
         return min(clean) if clean else min(walls)
 
-    for _ in range(BUILD_REPS):
-        metrics = timed_build("index_build")
+    def build_leg(name: str, **kwargs):
+        """BUILD_REPS probe-bracketed reps, topped up to BUILD_REPS_MAX while
+        no rep is clean — weather-degraded rounds still usually yield one
+        attributable (bracket-clean) wall instead of a flagged fallback."""
+        m = None
+        for _ in range(BUILD_REPS):
+            m = timed_build(name, **kwargs)
+        while not any(build_clean[name]) and len(build_clean[name]) < BUILD_REPS_MAX:
+            m = timed_build(name, **kwargs)
+        return m
+
+    metrics = build_leg("index_build")
     extras["n_docs_indexed"] = metrics["n_docs"]
     extras["build_docs_per_sec"] = round(metrics["n_docs"] / best_of_clean("index_build"), 1)
 
@@ -112,8 +126,7 @@ def main() -> None:
     # input-hint contract (pandas-UDF extraction); this one is robust to the
     # sandbox host's python-process throttling, so the pair separates engine
     # regressions from host weather in round-over-round comparisons.
-    for _ in range(BUILD_REPS):
-        metrics = timed_build("index_build_sql", engine="sql")
+    metrics = build_leg("index_build_sql", engine="sql")
     extras["build_docs_per_sec_sql"] = round(metrics["n_docs"] / best_of_clean("index_build_sql"), 1)
     extras["build_probe_gbs"] = build_probes
     extras["build_rep_clean"] = build_clean
@@ -183,7 +196,10 @@ def main() -> None:
     extras["bm25_wand_sec_per_query"] = round(queries["bm25_wand_50q"] / fixtures.N_QUERIES, 4)
     extras["bm25_wand_single_p50_s"] = round(singles[len(singles) // 2], 3)
     extras["bm25_wand_single_p95_s"] = round(singles[max(0, int(len(singles) * 0.95) - 1)], 3)
-    extras["reps"] = {"build": BUILD_REPS, "query": QUERY_REPS}
+    extras["reps"] = {
+        "build": {name: len(v) for name, v in build_clean.items()},
+        "query": QUERY_REPS,
+    }
     extras["runs"] = {k: v for k, v in runs.items() if not k.startswith("single_")}
     extras["single_runs"] = {k: v for k, v in runs.items() if k.startswith("single_")}
 
