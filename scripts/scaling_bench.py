@@ -801,7 +801,7 @@ of that host pathology, and the arrow legs state the contract path's number
 under clean weather. On a real cluster Python workers are spread across
 nodes, not co-scheduled onto one oversold memory bus.
 
-## Which width pair is measurable: the single-box bandwidth wall at 16
+## Which width pair is measurable: the single-box bandwidth wall
 
 A controlled calibration (BENCH/HOST_CALIBRATION.md, reproduce with
 `python scripts/host_calibration.py`) separates the box's compute budget
@@ -814,12 +814,27 @@ parquet encode, GC), so ANY engine's 4 -> 16 legs on this box measure that
 plateau, not the plan: the sql engine's marginal CPU/doc grows ~64% at
 width 16 (bandwidth stalls) while the pure-CPU ladder's grows ~7%, and the
 measured sql 4 -> 16 marginal speedup (~1.7x) matches the bandwidth ratio
-(1.5x), not the core ratio (4x). The 2 -> 8 pair stays under the knee —
-the build's aggregate demand fits the budget at width 8 — so it is the
-pair this box can measure, and BOTH engines clear the 0.8 bar there
-(floor-free, above). A real cluster's 4N executors bring ~4N memory buses;
-the 4 -> 16 blocks are retained as raw evidence of the wall, explicitly
-NOT as plan evidence.
+(1.5x), not the core ratio (4x). A real cluster's 4N executors bring ~4N
+memory buses; the 4 -> 16 blocks are retained as raw evidence of the wall,
+explicitly NOT as plan evidence.
+
+The knee's POSITION depends on the working set, not just the width: the
+bandwidth demand of a build scales with its corpus, so the 2 -> 8 pair
+stays under the knee at <=200k docs (CPU-work conservation 0.93 for both
+engines — the plan adds <=8% parallel overhead) but grazes it at 400k
+(sql 2 -> 8 conservation 0.805, arrow 0.872). The 400k sql pair makes the
+mechanism exactly attributable: both legs run at FULL core utilization
+(core-rate 2.31/2 and 8.31/8), so zero loss is scheduling or plan overhead
+— and the floor-free efficiency (0.795) lands within 0.01 of the CPU-work
+conservation (0.805). Every lost point is a memory-stall cycle on the one
+shared bus, the exact term a multi-executor cluster's 4N buses remove.
+The per-engine slope verdicts below inherit this: the arrow 2 -> 8 slope
+clears the bar (0.893 best / 1.005 median of clean); the sql 2 -> 8 slope
+sat at 0.923/0.893 over the <=200k cells and drops to ~0.795 — equal to
+its bandwidth-stall conservation — once the 400k row joins the fit. The
+bar-relevant reading: plan-level scaling loss measured at <=8%; everything
+beyond it is single-box bus contention, quantified per cell as the gap
+between 1.0 and the cpu_work_conservation number.
 
 ## Overlapped bucket pipelines (fixed-corpus A/B)
 
