@@ -83,10 +83,22 @@ def main() -> None:
     cat = None
     build_probes: dict[str, list[list[float]]] = {}
     build_clean: dict[str, list[bool]] = {}
+    # chronological (leg, rep_idx, kind) -> value; clean flags are derived
+    # AFTER all reps, because a rep's closing bracket is its SETTLED probe
+    probe_seq: list[tuple[str, int, str, float]] = []
 
     def timed_build(name: str, **kwargs):
-        """One probe-bracketed build rep: [pre, post] 8-proc memcpy GB/s are
-        recorded per rep; the rep is clean iff both clear MIN_PROBE_GBS."""
+        """One probe-bracketed build rep: pre/post 8-proc memcpy GB/s are
+        recorded per rep. The immediate post-probe is depressed for ~20-30 s
+        by worker teardown AND by the bench's own still-alive local[N] JVM
+        (same instrument physics the campaign calibrated — an in-flight
+        memory-heavy process group reads the probe down even in clear
+        weather), so cleanliness is judged from the SETTLED closing probe:
+        the best of [this rep's post, the next chronological probe] — the
+        next rep's pre runs seconds later against the same live JVM and
+        measures 77-105 in clear weather, so it, not the teardown-window
+        post, is the honest closing bracket (mirrors the campaign's
+        _annotate_ambient rule; a persistent freeze depresses BOTH)."""
         nonlocal cat
         shutil.rmtree(wh, ignore_errors=True)
         cat = Catalog(spark, wh)
@@ -97,9 +109,27 @@ def main() -> None:
         )
         record(name, time.time() - t0)
         post = bw_probe(8, 1.5)
-        build_probes.setdefault(name, []).append([pre, post])
-        build_clean.setdefault(name, []).append(min(pre, post) >= MIN_PROBE_GBS)
+        rep = len(build_probes.setdefault(name, []))
+        build_probes[name].append([pre, post])
+        probe_seq.append((name, rep, "pre", pre))
+        probe_seq.append((name, rep, "post", post))
         return metrics
+
+    def settle_build_gate() -> None:
+        """One settled probe after the last rep, then derive per-rep clean
+        flags: pre >= floor AND settled closing (max of post + the next
+        probe in sequence) >= floor."""
+        time.sleep(15)  # let teardown churn drain before the final bracket
+        probe_seq.append(("_final", 0, "pre", bw_probe(8, 1.5)))
+        for i, (name, rep, kind, val) in enumerate(probe_seq):
+            if kind != "pre" or name == "_final":
+                continue
+            post = probe_seq[i + 1][3]
+            nxt = probe_seq[i + 2][3] if i + 2 < len(probe_seq) else post
+            closing = max(post, nxt)
+            build_clean.setdefault(name, []).append(
+                val >= MIN_PROBE_GBS and closing >= MIN_PROBE_GBS
+            )
 
     def best_of_clean(name: str) -> float:
         walls = runs[name]
@@ -108,18 +138,21 @@ def main() -> None:
 
     def build_leg(name: str, **kwargs):
         """BUILD_REPS probe-bracketed reps, topped up to BUILD_REPS_MAX while
-        no rep is clean — weather-degraded rounds still usually yield one
-        attributable (bracket-clean) wall instead of a flagged fallback."""
+        no rep even STARTED in a healthy window (pre-probe >= floor) — final
+        cleanliness is settled later (settle_build_gate), but a leg whose
+        every rep began degraded deserves extra draws now."""
         m = None
         for _ in range(BUILD_REPS):
             m = timed_build(name, **kwargs)
-        while not any(build_clean[name]) and len(build_clean[name]) < BUILD_REPS_MAX:
+        while (
+            not any(p[0] >= MIN_PROBE_GBS for p in build_probes[name])
+            and len(build_probes[name]) < BUILD_REPS_MAX
+        ):
             m = timed_build(name, **kwargs)
         return m
 
     metrics = build_leg("index_build")
     extras["n_docs_indexed"] = metrics["n_docs"]
-    extras["build_docs_per_sec"] = round(metrics["n_docs"] / best_of_clean("index_build"), 1)
 
     # second build datapoint: the all-JVM engine (engine="sql", bit-identical
     # index — tests/test_sql_engine.py). The default arrow path measures the
@@ -127,6 +160,10 @@ def main() -> None:
     # sandbox host's python-process throttling, so the pair separates engine
     # regressions from host weather in round-over-round comparisons.
     metrics = build_leg("index_build_sql", engine="sql")
+    settle_build_gate()
+    extras["build_docs_per_sec"] = round(
+        extras["n_docs_indexed"] / best_of_clean("index_build"), 1
+    )
     extras["build_docs_per_sec_sql"] = round(metrics["n_docs"] / best_of_clean("index_build_sql"), 1)
     extras["build_probe_gbs"] = build_probes
     extras["build_rep_clean"] = build_clean
