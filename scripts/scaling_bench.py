@@ -801,6 +801,16 @@ of that host pathology, and the arrow legs state the contract path's number
 under clean weather. On a real cluster Python workers are spread across
 nodes, not co-scheduled onto one oversold memory bus.
 
+The sharpest single datapoint (r5, same corpus, same hour, clean-bracketed
+legs ~40 min apart): at width 4 the arrow engine BEATS sql on the 400k
+corpus (115.9 s vs 153.3 s — python workers are fine when few), at width
+16 it loses 4.2x (257.9 s vs 61.5 s, with arrow's CPU-work inflating 3.3x
+over its own width-4 run while sql's inflates 1.27x). Identical plan shape
+at both widths; the only variable is 16 co-scheduled python worker
+processes vs 16 JVM threads. That is the host pathology in one controlled
+contrast, and why the 4 -> 16 arrow cells are evidence about this box, not
+about the plan.
+
 ## Which width pair is measurable: the single-box bandwidth wall
 
 A controlled calibration (BENCH/HOST_CALIBRATION.md, reproduce with
