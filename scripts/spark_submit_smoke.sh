@@ -11,6 +11,7 @@
 # an executed run is recorded in BENCH/SPARK_SUBMIT.md.
 set -e
 cd "$(dirname "$0")/.."
+REPO="$(pwd)"
 N_DOCS="${1:-3000}"
 MASTER="${2:-local[8]}"
 WORK="$(mktemp -d /tmp/ir_submit_smoke.XXXXXX)"
@@ -40,10 +41,33 @@ cd "$SUBMIT_DIR"
 
 spark-submit --master "$MASTER" --py-files ir_spark.zip \
     build_index_job.py --pages "$WORK/pages" --warehouse "$WORK/wh" \
-    --buckets 2 --engine arrow 2>/dev/null
+    --buckets 2 --engine arrow 2>/dev/null | tee "$WORK/build.out"
 
+# query two terms that EXIST in the fixture vocabulary (term%06d — see
+# fixtures._VOCAB) and FAIL the smoke if the top-k comes back empty: a
+# vocabulary-miss query would print an empty table and prove nothing
+# about the built index
 spark-submit --master "$MASTER" --py-files ir_spark.zip \
-    query_job.py --warehouse "$WORK/wh" --query "web text retrieval" --k 10 \
-    2>/dev/null
+    query_job.py --warehouse "$WORK/wh" --query "term000001 term000002" --k 10 \
+    2>/dev/null | tee "$WORK/query.out"
+
+NROWS="$(grep -c '^|0 ' "$WORK/query.out" || true)"
+if [ "$NROWS" -lt 1 ]; then
+    echo "SMOKE_FAIL: query returned 0 result rows"
+    exit 1
+fi
+
+{
+    echo "# spark-submit --py-files smoke (executed transcript)"
+    echo
+    echo "Run: $(date -u '+%Y-%m-%d %H:%M:%S') UTC — n_docs=$N_DOCS master=$MASTER"
+    echo "Reproduce: sh scripts/spark_submit_smoke.sh"
+    echo
+    echo '```'
+    cat "$WORK/build.out"
+    cat "$WORK/query.out"
+    echo "result rows: $NROWS"
+    echo '```'
+} > "$REPO/BENCH/SPARK_SUBMIT.md"
 
 echo SMOKE_OK
