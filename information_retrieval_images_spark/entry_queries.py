@@ -43,6 +43,17 @@ def _tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def _tok_arr(text_col: str = "text"):
+    """Token ARRAY column (same analyzer as _tokens, un-exploded): lower +
+    \\s+ split + drop empties. Used where per-doc set semantics help BEFORE
+    the explode (array_distinct -> explode emits each (doc, term) once, so
+    downstream aggs are plain counts with map-side combine). NOTE: avoid
+    building per-term counters from this with higher-order filter() lambdas
+    — they evaluate interpreted per element (no whole-stage codegen) and
+    measured 2x slower than explode + conditional agg (OPTIMIZATION_r06.md)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+
+
 def _md5_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
@@ -63,28 +74,53 @@ def _rank_topk(df: DataFrame, k: int, *order) -> DataFrame:
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BM25 (k1=1.2,b=0.75) top-10 for a fixed query over documents
-    (lang='en'), computed with built-ins only: tokenize -> tf -> df -> score
-    -> rank. The index-backed engine (operators.bm25) matches this math."""
+    (lang='en'), computed with built-ins only. The index-backed engine
+    (operators.bm25) matches this math.
+
+    r6 shape (guide §2.3/§2.4 — "aggregate before you shuffle"): ONE explode
+    feeds ONE groupBy(doc_id) that computes dl AND each query term's tf as
+    conditional-count agg columns (map-side partial agg collapses the token
+    stream to <= n_docs rows per partition before the exchange). The old
+    plan ran three separate groupBys over the token stream (dl, tf, df) and
+    joined them back. Collection stats (n_docs, avgdl, per-term df)
+    aggregate over the per-doc frame and broadcast back as one row; only
+    <= 10 rows ever reach the rank window. Same math, same values (verified
+    vs the DuckDB oracle at sf0.001/0.01/0.1/1.0).
+
+    (An array-expression formulation with zero explode measured SLOWER:
+    higher-order filter() lambdas evaluate interpreted per element, outside
+    whole-stage codegen — see OPTIMIZATION_r06.md.)"""
     docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    uterms = list(dict.fromkeys(BM25_QUERY.split()))
     toks = _tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    qterms = spark.createDataFrame([(t,) for t in BM25_QUERY.split()], "term string").distinct()
-    tf = toks.join(F.broadcast(qterms), "term").groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"tf{i}")
+            for i, t in enumerate(uterms)
+        ],
+    )
+    stats = per.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}") for i in range(len(uterms))],
+    )
+    matched = per.where(" OR ".join(f"tf{i} > 0" for i in range(len(uterms))))
+    partials = [
+        F.when(
+            F.col(f"tf{i}") > 0,
+            F.log1p((F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5))
+            * (F.col(f"tf{i}") * (K1 + 1.0))
+            / (F.col(f"tf{i}") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(uterms))
+    ]
+    total = partials[0]
+    for p in partials[1:]:
+        total = total + p
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("idf", F.log1p((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
-        .withColumn(
-            "partial",
-            F.col("idf")
-            * (F.col("tf") * (K1 + 1.0))
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("partial"), 6).alias("bm25_score"))
+        matched.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(total, 6).alias("bm25_score"))
     )
     return _rank_topk(scored, 10, F.desc("bm25_score"), F.asc("doc_id")).select(
         "rank", "doc_id", "bm25_score"
@@ -92,11 +128,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document frequency per term, top 20 (df desc, term asc) — A8."""
-    toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("lang") == "en"))
+    """Document frequency per term, top 20 (df desc, term asc) — A8.
+
+    r6 shape: explode array_distinct(tokens) instead of the full token
+    stream + countDistinct — per-doc dedup happens scan-side in the array,
+    so the aggregation is a plain count with map-side partial agg (the
+    shuffle carries <= |vocab| rows per partition instead of expanding every
+    (term, doc) pair through countDistinct's two-phase distinct)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
     return (
-        toks.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        docs.select(F.explode(F.array_distinct(_tok_arr())).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(20)
     )
@@ -112,9 +155,11 @@ def q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collection statistics (N, avgdl) over lang='en' — A8."""
-    toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("lang") == "en"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    """Collection statistics (N, avgdl) over lang='en' — A8. dl is an array
+    expression on the scan (r6, guide §2.4): one agg job, zero shuffles of
+    token rows (docs with zero tokens are excluded, as _tokens did)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    dl = docs.select(F.size(_tok_arr()).alias("dl")).where(F.col("dl") > 0)
     return dl.agg(F.count("*").alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl"))
 
 
@@ -207,24 +252,36 @@ LSH_BANDS = 4  # 2 rows per band
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 perms) + LSH (4 bands x 2 rows) candidate pairs, doc_id<150.
     shingle->minhash->band->bucket-join; hash = md5-derived 60-bit ints
-    (identical in the DuckDB oracle)."""
-    toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)).select("doc_id", "term").distinct()
-    hashes = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("h"))
-    mh = (
-        toks.crossJoin(F.broadcast(hashes))
-        .withColumn("hv", _md5_long(F.concat_ws(":", F.col("h"), F.col("term"))))
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("minhash"))
+    (identical in the DuckDB oracle).
+
+    r6 shape: the 8 permutations are 8 min-agg COLUMNS over one explode of
+    the per-doc distinct term array, not an 8x crossJoin row expansion + a
+    (doc_id, h) shuffle; per-doc term dedup is array_distinct on the scan
+    (no .distinct() exchange), and band signatures are column expressions
+    over the 8 minhash columns (no collect_list groupBy). One balanced
+    shuffle on doc_id replaces four."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    toks = docs.select("doc_id", F.explode(F.array_distinct(_tok_arr())).alias("term"))
+    mh = toks.groupBy("doc_id").agg(
+        *[
+            F.min(_md5_long(F.concat_ws(":", F.lit(h), F.col("term")))).alias(f"mh{h}")
+            for h in range(N_MINHASH)
+        ]
     )
-    bands = (
-        mh.withColumn("band", (F.col("h") / (N_MINHASH // LSH_BANDS)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "h", "minhash"))))).alias("sig"))
+    rows_per_band = N_MINHASH // LSH_BANDS
+    def _band_sig(b: int):
+        parts = [
+            F.concat_ws(":", F.lit(h), F.col(f"mh{h}"))
+            for h in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        return F.md5(F.concat_ws(",", F.sort_array(F.array(*parts))))
+    bands = mh.select(
+        "doc_id", F.posexplode(F.array(*[_band_sig(b) for b in range(LSH_BANDS)])).alias("band", "sig")
     )
     pairs = (
         bands.alias("a")
         .join(
-            bands.alias("b"),
+            F.broadcast(bands.alias("b")),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -236,7 +293,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit tf-weighted SimHash per document, doc_id<100."""
+    """32-bit tf-weighted SimHash per document, doc_id<100.
+
+    Left in its original explode/crossJoin shape DELIBERATELY (r6): a
+    32-agg-column rewrite (one sum per bit) measured ~2x SLOWER — 64
+    when/sum expressions blow up the generated code (codegen compile cost +
+    interpreted fallback) while the data here is tiny; see
+    OPTIMIZATION_r06.md."""
     toks = _tokens(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     tf = tf.withColumn("hv", _md5_long("term"))
@@ -263,26 +326,41 @@ def _dot(a, b):
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-20 vs vec_id=0 (the ANN baseline; T1 analogue)."""
+    """Brute-force cosine top-20 vs vec_id=0 (the ANN baseline; T1 analogue).
+
+    r6: the query vector's norm is computed ONCE inside the broadcast row
+    (same double, bitwise) instead of re-traversing the 64-wide query array
+    per scanned row — one of three array aggregations per row removed."""
     emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+    )
     joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
-    cos = (
-        _dot(F.col("embedding"), F.col("qe"))
-        / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    cos = _dot(F.col("embedding"), F.col("qe")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("qn")
     )
     scored = joined.select("vec_id", F.round(cos, 6).alias("cosine"))
     return _rank_topk(scored, 20, F.desc("cosine"), F.asc("vec_id")).select("rank", "vec_id", "cosine")
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos > 0.3) among vec_id<100."""
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100).select("vec_id", "embedding")
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
-        * F.sqrt(_dot(F.col("b.embedding"), F.col("b.embedding")))
+    """Embedding-cosine near-dup pairs (cos > 0.3) among vec_id<100.
+
+    r6: each side's norm is computed once per ROW before the pair join (the
+    sqrt of the same dot — bitwise-identical cosine) instead of once per
+    PAIR: 2 array traversals per pair removed out of 3."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
     )
+    a, b = emb.alias("a"), F.broadcast(emb.alias("b"))
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), F.round(cos, 6).alias("cosine"))
@@ -308,14 +386,27 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue top-10 customers (J4/A1).
+
+    r6 shape (guide §2.3 "aggregate before you shuffle"): lineitem is
+    pre-aggregated to one revenue row per l_orderkey BEFORE the join — the
+    map-side partial agg collapses the ~4x lineitem fan-in, so the join
+    exchange carries one narrow row per order instead of every lineitem
+    (price+discount included). The orders side is projected to its two used
+    columns. Customer stays a broadcast. Revenue = sum of per-order sums —
+    same doubles summed, rounded once at the end (value-matched vs the
+    oracle, which also sums in arbitrary order)."""
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("orev")
+    )
     rev = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum("orev"), 2).alias("revenue"))
     )
     return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
 
@@ -404,11 +495,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (J3, reference IN-list presence check db.py:341-356):
-    parts with at least one heavy lineitem, counted per brand."""
+    parts with at least one heavy lineitem, counted per brand.
+
+    r6 shape (guide §3.1): distinct the filtered lineitem's join keys (map-
+    side partial distinct — bounded by |part|) and BROADCAST them, so the
+    part table is never shuffled: scan -> broadcast semi -> partial agg.
+    The old plan sort-merge-joined both sides (two exchanges + sorts)."""
     p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 30)
+    li_keys = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 30)
+        .select("l_partkey")
+        .distinct()
+    )
     return (
-        p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
+        p.join(F.broadcast(li_keys), p["p_partkey"] == li_keys["l_partkey"], "left_semi")
         .groupBy("p_brand")
         .agg(F.count("*").cast("long").alias("n_parts"))
     )
