@@ -223,7 +223,10 @@ def assign_doc_ids(
     """
     spark = pages.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
+    _t0 = time.time()
     counts = pages.select(_group_expr(p_logical).alias("g")).groupBy("g").count().collect()
+    if os.environ.get("IR_TRACE") == "1":
+        print(f"IR_TRACE   assign.counts_job: {time.time() - _t0:.1f}s", flush=True)
     by_g = {int(r["g"]): int(r["count"]) for r in counts}
     offsets = {}
     acc = 0
@@ -355,7 +358,11 @@ def posting_runs_sql(docs: DataFrame) -> DataFrame:
 
     Analyzer parity: extracted text is single-space collapsed and trimmed,
     so splitting on one space IS Python's str.split(); empty text explodes
-    to one "" token which is filtered (str.split() of "" is [])."""
+    to one "" token which is filtered (str.split() of "" is []).
+
+    NOTE: the build pipeline does not call this + a separate repartition any
+    more (that was TWO shuffles of the posting volume); see
+    :func:`sorted_posting_runs_sql`. Kept for callers that want plain runs."""
     toks = docs.select(
         "doc_id",
         "dl",
@@ -365,6 +372,39 @@ def posting_runs_sql(docs: DataFrame) -> DataFrame:
         toks.groupBy("term", "doc_id", "dl")
         .agg(F.count("*").cast("int").alias("tf"))
         .select("term", "doc_id", "tf", F.col("dl").cast("int").alias("dl"))
+    )
+
+
+def sorted_posting_runs_sql(docs: DataFrame, nparts: int) -> DataFrame:
+    """All-JVM (term, doc_id)-sorted posting runs in ONE shuffle (r6,
+    guide §2.4 "remove shuffles outright").
+
+    The old sql pipeline paid two full shuffles of the posting volume:
+    groupBy(term, doc_id, dl) exchanged ~unique pairs to aggregate tf, then
+    ``repartition(nparts, term, doc_group)`` exchanged them AGAIN into the
+    encoder's layout. Here the exploded token stream is hash-repartitioned
+    straight into the encoder's (term, doc_group) layout and the tf
+    aggregate runs ON that partitioning: HashPartitioning(term, doc_group)
+    satisfies the aggregate's ClusteredDistribution(term, doc_group, doc_id,
+    dl) because doc_group is a function of doc_id and the partitioning keys
+    are a subset of the grouping keys — Catalyst plans NO second exchange
+    (asserted in tests/test_sql_engine.py). Same rows, same layout, same
+    blocks as before — one exchange instead of two."""
+    toks = (
+        docs.select(
+            "doc_id",
+            "dl",
+            F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .withColumn("doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS))
+    )
+    return (
+        toks.repartition(nparts, "term", "doc_group")
+        .groupBy("term", "doc_group", "doc_id", "dl")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("term", "doc_id", "tf", F.col("dl").cast("int").alias("dl"))
+        .sortWithinPartitions("term", "doc_id")
     )
 
 
@@ -610,22 +650,27 @@ def build_index(
         # partial files from a killed run of this bucket are discarded by the
         # mode("overwrite") bucket-directory writes in write_bucket
         bucket_docs = docs.where(F.col("bucket") == b)
-        runs = (
-            posting_runs_sql(bucket_docs)
-            if engine == "sql"
-            else posting_runs(bucket_docs, min_parallelism=nparts)
-        ).withColumn("doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS))
-        # HASH repartition on (term, doc_group): same co-location and head-term
-        # splitting as a range shuffle, but fully deterministic with NO
-        # boundary-sampling pass (a range shuffle would re-execute — or force
-        # caching of — the whole SPIMI kernel just to sample boundaries).
-        # Term-lookup pruning is preserved: each output file is sorted by
-        # (term, doc_id), so parquet row-group min/max stats stay selective.
-        sorted_runs = (
-            runs.repartition(nparts, "term", "doc_group")
-            .sortWithinPartitions("term", "doc_id")
-            .drop("doc_group")
-        )
+        if engine == "sql":
+            # one exchange: token stream repartitioned straight into the
+            # encoder's (term, doc_group) layout, tf aggregated ON that
+            # partitioning (see sorted_posting_runs_sql)
+            sorted_runs = sorted_posting_runs_sql(bucket_docs, nparts)
+        else:
+            runs = posting_runs(bucket_docs, min_parallelism=nparts).withColumn(
+                "doc_group", F.shiftright(F.col("doc_id"), DOC_GROUP_BITS)
+            )
+            # HASH repartition on (term, doc_group): same co-location and
+            # head-term splitting as a range shuffle, but fully deterministic
+            # with NO boundary-sampling pass (a range shuffle would re-execute
+            # — or force caching of — the whole SPIMI kernel just to sample
+            # boundaries). Term-lookup pruning is preserved: each output file
+            # is sorted by (term, doc_id), so parquet row-group min/max stats
+            # stay selective.
+            sorted_runs = (
+                runs.repartition(nparts, "term", "doc_group")
+                .sortWithinPartitions("term", "doc_id")
+                .drop("doc_group")
+            )
         blocks = encode_blocks(sorted_runs, avgdl)
         write_bucket(
             catalog, blocks, bucket_docs, b, nparts, n_keys=per_bucket.get(b, (0, 0))[0], tp_n=tp_n
@@ -715,15 +760,24 @@ def write_bucket_postings(
     """
     blocks = blocks.withColumn("tp", term_prefix_expr(tp_n=tp_n)).persist()
     try:
-        _write_postings_rows(catalog, blocks, bucket)
+        _write_postings_rows(catalog, blocks, bucket, tp_n)
         _write_bucket_stats(catalog, blocks, bucket, nparts, tp_n)
     finally:
         blocks.unpersist()
         catalog.invalidate_reads()  # direct parquet writes bypass Catalog.write
 
 
-def _write_postings_rows(catalog: Catalog, blocks: DataFrame, bucket: int) -> None:
-    out = blocks.sortWithinPartitions("tp", "term", "first_doc")
+def _write_postings_rows(
+    catalog: Catalog, blocks: DataFrame, bucket: int, tp_n: int = TERM_PREFIX_PARTITIONS
+) -> None:
+    # Cluster by tp BEFORE the dynamic-partition write (r6, guide §6 small
+    # files): from the encoder's (term, doc_group) layout every task holds
+    # every tp, so the writer emitted nparts x tp_n tiny files per bucket
+    # (512 at sandbox defaults — measured ~6 s/bucket of pure writer
+    # overhead, and every query paid the file-open/listing cost back). One
+    # cheap shuffle of the compressed block rows -> one file per tp dir;
+    # per-file (term, first_doc) sort keeps row-group min/max pruning.
+    out = blocks.repartition(int(tp_n), "tp").sortWithinPartitions("tp", "term", "first_doc")
     if catalog.use_iceberg:
         catalog.append(out.withColumn("bucket", F.lit(bucket)), "postings")
     else:
@@ -739,7 +793,9 @@ def _write_bucket_stats(
         blocks.groupBy("term")
         .agg(F.sum("n_docs").cast("long").alias("df"))
         .withColumn("tp", term_prefix_expr(tp_n=tp_n))
-        .coalesce(max(1, nparts // 4))
+        # cluster by tp so each tp dir gets ONE file (was coalesce(nparts/4)
+        # -> nparts/4 x tp_n files; the term_dfs IN-list lookup opens fewer)
+        .repartition(int(tp_n), "tp")
         .sortWithinPartitions("tp", "term")
     )
     if catalog.use_iceberg:
@@ -776,14 +832,34 @@ def write_bucket(
 
     from ..blooms import write_bucket_bloom
 
+    trace = os.environ.get("IR_TRACE") == "1"
+    spark = catalog.spark
+
+    def _timed(name, fn, *args):
+        # Each sidecar runs in its OWN scheduler pool (r6): pools round-robin
+        # under FAIR mode but are FIFO *within* — with all three sidecars in
+        # the bucket's pool they serialized behind each other (measured: the
+        # last-submitted bloom job's wall was the SUM of the three sidecars
+        # whenever the cluster had free slots). A per-(bucket, sidecar) pool
+        # lets the three small jobs overlap; total work is unchanged.
+        prev = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"ir_sc_{bucket}_{name}")
+        t0 = time.time()
+        try:
+            return fn(*args)
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", prev)
+            if trace:
+                print(f"IR_TRACE   wb{bucket}.{name}: {time.time() - t0:.1f}s", flush=True)
+
     blocks = blocks.withColumn("tp", term_prefix_expr(tp_n=tp_n)).persist()
     try:
-        _write_postings_rows(catalog, blocks, bucket)
+        _timed("postings", _write_postings_rows, catalog, blocks, bucket, tp_n)
         with ThreadPoolExecutor(max_workers=3) as ex:
             futs = [
-                ex.submit(_write_bucket_stats, catalog, blocks, bucket, nparts, tp_n),
-                ex.submit(write_bucket_doclens, catalog, bucket_docs, bucket),
-                ex.submit(write_bucket_bloom, catalog, bucket_docs, bucket, n_keys),
+                ex.submit(_timed, "stats", _write_bucket_stats, catalog, blocks, bucket, nparts, tp_n),
+                ex.submit(_timed, "doclens", write_bucket_doclens, catalog, bucket_docs, bucket),
+                ex.submit(_timed, "bloom", write_bucket_bloom, catalog, bucket_docs, bucket, n_keys),
             ]
             errs = [f.exception() for f in futs]
             for e in errs:

@@ -19,15 +19,20 @@ SPARK_CONF = {
     "spark.driver.maxResultSize": "4g",
     # Arrow batch transfer for every pandas UDF (the only Python in the plan).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # bound per-worker memory: real web pages are 50-100 KB, and the pandas
-    # extraction chain holds ~6 intermediate copies of a batch — 10k-row
-    # batches mean multi-GB resident per worker and GC/THP thrash.
-    # Tuned r5 (VERDICT r4 task #1): profiled the extraction stage at
-    # widths {2,8} x batch {256,1024,4096} on the 64 KB-page corpus with
-    # probe-clean brackets — extraction CPU-work is conserved 2->8 within
-    # noise at 1024 (116.5 vs 117.4 CPU-s), 4096 costs +8-20% CPU (memory
-    # pressure), 256 shows no robust win. 1024 stays.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    # Arrow batch sizing (retuned r6): bound batches by BYTES, not rows.
+    # r5 pinned 1024 rows because at 64 KB/page the extraction chain holds
+    # ~6 intermediate copies per batch and 4096-row batches thrashed memory
+    # (+8-20% CPU) — but the same 1024-row cap starved every SKINNY-row
+    # kernel: the block encoder sees ~40 B posting rows, so 24M rows/bucket
+    # crossed the boundary in ~24k batches of per-batch Python overhead.
+    # Spark 4's maxBytesPerBatch expresses the real constraint directly:
+    # 16m keeps a 64 KB-page extraction batch at ~256 rows (the r5-profiled
+    # safe range) while letting narrow-row kernels batch 64k rows at a time
+    # (measured: full arrow build at sf1.0 48-52 s -> 33-39 s).
+    # Worker memory: 16 MB x ~6 copies x 32 workers ~= 3 GB, well inside the
+    # sandbox; on a cluster scale via spark.executor.pyspark.memory.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    "spark.sql.execution.arrow.maxBytesPerBatch": "16m",
     # explicit (it is the default, but the scaling evidence depends on it):
     # reused python workers amortize interpreter+import cost across tasks —
     # a fresh worker per task would re-pay ~100-300 ms each
