@@ -45,6 +45,35 @@ from .index_build import DOC_GROUP_BITS, term_prefix
 RESULT_SCHEMA = "query_id int, rank int, doc_id long, bm25_score double"
 
 
+# Worker-process cache of DECODED doclens sidecar groups (guide §4.5:
+# heavyweight per-task state amortized across tasks via worker reuse). Every
+# decode kernel batch used to re-read + re-varint-decode its (bucket, group)
+# sidecar rows — for a 50-query batch the same few dozen groups were decoded
+# hundreds of times per run. Keyed by (root, bucket, file fingerprint): the
+# fingerprint is the bucket dir's (name, size, mtime_ns) file list, so any
+# rewrite (delete/append/compact/rebuild — all replace the bucket's sidecar
+# files) changes the key and the stale entry ages out of the LRU. This is
+# INPUT-file caching keyed to file state, not result caching: a fresh build
+# at the same path gets a fresh fingerprint and decodes from parquet again.
+_DL_CACHE: dict[tuple, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
+_DL_CACHE_BYTES = [0]
+_DL_CACHE_MAX_BYTES = 256 << 20  # decoded sidecars are ~16 B/doc; LRU-bounded
+
+
+def _bucket_fingerprint(bucket_dir: str) -> tuple:
+    try:
+        with os.scandir(bucket_dir) as it:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in it
+                    if e.name.endswith(".parquet")
+                )
+            )
+    except FileNotFoundError:
+        return ()
+
+
 def _load_group_doclens(
     doclens_root: str, pairs: set[tuple[int, int]]
 ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
@@ -61,6 +90,8 @@ def _load_group_doclens(
     names the exact buckets, so each one becomes its own tiny dataset and a
     task's sidecar IO is O(its buckets); parquet row-group min/max pruning
     on the doc_group sort column then skips to the requested groups.
+    Decoded (bucket, group) arrays are memoized per worker process in
+    _DL_CACHE (fingerprint-keyed — see above).
     """
     import pyarrow.dataset as ds
 
@@ -69,19 +100,42 @@ def _load_group_doclens(
         by_bucket.setdefault(int(b), set()).add(int(g))
     per_group: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
     for b in sorted(by_bucket):
-        dataset = ds.dataset(os.path.join(doclens_root, f"bucket={b}"), format="parquet")
-        tbl = dataset.to_table(
-            columns=["doc_group", "ids_enc", "dls_enc"],
-            filter=ds.field("doc_group").isin(sorted(by_bucket[b])),
-        )
-        for g, ie, de in zip(
-            tbl["doc_group"].to_pylist(),
-            tbl["ids_enc"].to_pylist(),
-            tbl["dls_enc"].to_pylist(),
-        ):
-            ids = np.cumsum(varint_decode(ie).astype(np.int64))
-            dls = varint_decode(de).astype(np.int64)
-            per_group.setdefault(int(g), []).append((ids, dls))
+        bucket_dir = os.path.join(doclens_root, f"bucket={b}")
+        key = (doclens_root, b, _bucket_fingerprint(bucket_dir))
+        cached = _DL_CACHE.get(key)
+        if cached is None:
+            cached = {}
+            _DL_CACHE[key] = cached
+        missing = [g for g in sorted(by_bucket[b]) if g not in cached]
+        if missing:
+            dataset = ds.dataset(bucket_dir, format="parquet")
+            tbl = dataset.to_table(
+                columns=["doc_group", "ids_enc", "dls_enc"],
+                filter=ds.field("doc_group").isin(missing),
+            )
+            for g, ie, de in zip(
+                tbl["doc_group"].to_pylist(),
+                tbl["ids_enc"].to_pylist(),
+                tbl["dls_enc"].to_pylist(),
+            ):
+                ids = np.cumsum(varint_decode(ie).astype(np.int64))
+                dls = varint_decode(de).astype(np.int64)
+                cached[int(g)] = (ids, dls)
+                _DL_CACHE_BYTES[0] += ids.nbytes + dls.nbytes
+            for g in missing:  # groups with no sidecar row: pin the miss
+                cached.setdefault(int(g), (np.empty(0, np.int64), np.empty(0, np.int64)))
+            while _DL_CACHE_BYTES[0] > _DL_CACHE_MAX_BYTES and len(_DL_CACHE) > 1:
+                old_key = next(iter(_DL_CACHE))
+                if old_key == key:  # never evict the entry being filled
+                    break
+                evicted = _DL_CACHE.pop(old_key)
+                _DL_CACHE_BYTES[0] -= sum(
+                    i.nbytes + d.nbytes for i, d in evicted.values()
+                )
+        for g in by_bucket[b]:
+            ids, dls = cached[int(g)]
+            if ids.size:
+                per_group.setdefault(int(g), []).append((ids, dls))
     out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for g, parts in per_group.items():
         if len(parts) == 1:
