@@ -801,8 +801,12 @@ of that host pathology, and the arrow legs state the contract path's number
 under clean weather. On a real cluster Python workers are spread across
 nodes, not co-scheduled onto one oversold memory bus.
 
-The sharpest single datapoint (r5, same corpus, same hour, clean-bracketed
-legs ~40 min apart): at width 4 the arrow engine BEATS sql on the 400k
+The sharpest single datapoint (MEASURED IN THE r5 CAMPAIGN — the figures
+in this and the preceding paragraph are quoted from that campaign's runs
+(BENCH/scaling_runs.jsonl, r5 entries), not recomputed from the current
+summary dict; a regenerated report after NEW campaign data refreshes the
+tables but not this narrative — ADVICE r5 #4): at width 4 the arrow
+engine BEATS sql on the 400k
 corpus (115.9 s vs 153.3 s — python workers are fine when few), at width
 16 it loses 4.2x (257.9 s vs 61.5 s, with arrow's CPU-work inflating 3.3x
 over its own width-4 run while sql's inflates 1.27x). Identical plan shape

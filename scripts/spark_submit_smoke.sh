@@ -39,9 +39,15 @@ mkdir -p "$SUBMIT_DIR"
 cp ir_spark.zip jobs/build_index_job.py jobs/query_job.py "$SUBMIT_DIR/"
 cd "$SUBMIT_DIR"
 
+# write stdout to a file and cat it (NOT `cmd | tee` — POSIX sh has no
+# pipefail, so a pipe would discard spark-submit's exit status and a build
+# that died after writing a partial warehouse could still smoke-pass on
+# whatever the query returns; ADVICE r5 #1). stderr goes to a log, not
+# /dev/null, so a failed build is diagnosable.
 spark-submit --master "$MASTER" --py-files ir_spark.zip \
     build_index_job.py --pages "$WORK/pages" --warehouse "$WORK/wh" \
-    --buckets 2 --engine arrow 2>/dev/null | tee "$WORK/build.out"
+    --buckets 2 --engine arrow > "$WORK/build.out" 2> "$WORK/build.err"
+cat "$WORK/build.out"
 
 # query two terms that EXIST in the fixture vocabulary (term%06d — see
 # fixtures._VOCAB) and FAIL the smoke if the top-k comes back empty: a
@@ -49,7 +55,8 @@ spark-submit --master "$MASTER" --py-files ir_spark.zip \
 # about the built index
 spark-submit --master "$MASTER" --py-files ir_spark.zip \
     query_job.py --warehouse "$WORK/wh" --query "term000001 term000002" --k 10 \
-    2>/dev/null | tee "$WORK/query.out"
+    > "$WORK/query.out" 2> "$WORK/query.err"
+cat "$WORK/query.out"
 
 NROWS="$(grep -c '^|0 ' "$WORK/query.out" || true)"
 if [ "$NROWS" -lt 1 ]; then

@@ -152,8 +152,12 @@ def test_write_bucket_postings_iceberg_appends_both_tables(icat):
     write_bucket_postings(cat, blocks, 2, 8)
 
     persisted = blocks.withColumn.return_value.persist.return_value
-    # postings: sorted frame + bucket column -> writeTo(postings).append()
-    out = persisted.sortWithinPartitions.return_value.withColumn.return_value
+    # postings: tp-clustered (r6) + sorted frame + bucket column ->
+    # writeTo(postings).append()
+    out = (
+        persisted.repartition.return_value.sortWithinPartitions.return_value.withColumn.return_value
+    )
+    persisted.repartition.assert_called_once_with(16, "tp")  # tp_n default
     out.writeTo.assert_called_once_with("postings")
     out.writeTo.return_value.append.assert_called_once_with()
     persisted.unpersist.assert_called_once()
