@@ -43,6 +43,13 @@ SPARK_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE rewrite a sort-merge join to a shuffled-hash join when EVERY
+    # post-shuffle partition of the build side is under this bound (r6,
+    # guide §3.1): skips both sides' sorts with a hard runtime size guard,
+    # so it is scale-safe by construction — oversized partitions keep
+    # sort-merge. Default 0 (off) upstream; 128m is well inside executor
+    # memory at any sane shuffle sizing.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "128m",
     # Partition sizing: at 100 TB these come from cluster conf; locally keep
     # shuffle partitions near core count so tiny SFs don't drown in tasks.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
