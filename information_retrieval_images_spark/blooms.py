@@ -132,6 +132,9 @@ def write_bucket_bloom(catalog, bucket_docs: DataFrame, bucket: int, n_keys: int
     ``n_keys`` (the bucket's doc count) sizes the bitmap; pass it when the
     caller already knows it (build/append/compact do) to save a count job —
     every extra Spark action costs a full job round-trip at small scale."""
+    import time
+
+    trace = os.environ.get("IR_TRACE") == "1"
     n = bucket_docs.count() if n_keys is None else int(n_keys)
     if n == 0:
         # an emptied bucket keeps no bloom (no urls to match)
@@ -139,11 +142,39 @@ def write_bucket_bloom(catalog, bucket_docs: DataFrame, bucket: int, n_keys: int
 
         shutil.rmtree(os.path.join(catalog.path("blooms"), f"bucket={bucket}"), ignore_errors=True)
         return
+    t0 = time.time()
     m, k, bits = build_bloom(bucket_docs.select("url"), n)
-    row = catalog.spark.createDataFrame([(m, k, bytearray(bits))], BLOOM_SCHEMA)
-    row.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(catalog.path("blooms"), f"bucket={bucket}")
+    t1 = time.time()
+    # The bitmap row is DRIVER data (built here, probed here or by the tiny
+    # distributed probe) — write it with pyarrow directly, symmetric to how
+    # load_blooms reads it. Pushing one 356 KB binary row through
+    # createDataFrame + a Spark write job measured 3.8-3.9 s per bucket (r6
+    # trace) vs milliseconds for a direct parquet write; the tmp-file +
+    # os.replace keeps the single data file's swap atomic, and the
+    # checkpoint-row-last protocol covers crash consistency as before.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(catalog.path("blooms"), f"bucket={bucket}")
+    os.makedirs(d, exist_ok=True)
+    tbl = pa.table(
+        {
+            "m": pa.array([int(m)], type=pa.int64()),
+            "k": pa.array([int(k)], type=pa.int32()),
+            "bits": pa.array([bits], type=pa.binary()),
+        }
     )
+    tmp = os.path.join(d, "._part-00000.parquet.tmp")
+    pq.write_table(tbl, tmp)
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(d, f))
+    os.replace(tmp, os.path.join(d, "part-00000.parquet"))
+    if trace:
+        print(
+            f"IR_TRACE     bloom{bucket}.build: {t1 - t0:.1f}s write: {time.time() - t1:.1f}s",
+            flush=True,
+        )
 
 
 def load_blooms(catalog) -> dict[int, tuple[int, bytes]]:

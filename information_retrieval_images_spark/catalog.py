@@ -219,6 +219,63 @@ class Catalog:
     def append(self, df: DataFrame, name: str) -> None:
         self.write(df, name, mode="append")
 
+    # --- single-row metadata writes (r6) -------------------------------------
+    # A one-row commit (checkpoint manifest row, stats_global) through
+    # createDataFrame + a Spark write job costs a full driver job round-trip
+    # (~0.4-0.5 s each; the bloom sidecar's binary row measured 3.9 s). These
+    # rows are DRIVER data: on the parquet fallback, write them with pyarrow
+    # directly (tmp file + atomic rename; append = a fresh uuid-named file),
+    # types matched exactly to what Spark writes so mixed-writer directories
+    # read back with one schema. Iceberg mode keeps the table write path.
+
+    _PA_TYPES = {"int": "int32", "long": "int64", "double": "float64", "string": "string"}
+
+    def _row_table(self, row: tuple, schema: str):
+        import pyarrow as pa
+
+        fields, arrays = [], []
+        for spec, val in zip(schema.split(","), row):
+            col, typ = spec.strip().rsplit(" ", 1)
+            pa_t = getattr(pa, self._PA_TYPES[typ])()
+            fields.append(pa.field(col, pa_t))
+            arrays.append(pa.array([val], type=pa_t))
+        return pa.table(dict(zip([f.name for f in fields], arrays)))
+
+    def append_row(self, name: str, row: tuple, schema: str) -> None:
+        """Append ONE metadata row to a table without a Spark job (parquet
+        path); identical semantics to append(createDataFrame([row]))."""
+        if self.use_iceberg:
+            self.append(self.spark.createDataFrame([row], schema), name)
+            return
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        self._df_cache = {}
+        d = self.path(name)
+        os.makedirs(d, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(d, f".{fname}.tmp")
+        pq.write_table(self._row_table(row, schema), tmp)
+        os.replace(tmp, os.path.join(d, fname))
+
+    def overwrite_row(self, name: str, row: tuple, schema: str) -> None:
+        """Overwrite a single-row table without a Spark job (parquet path)."""
+        if self.use_iceberg:
+            self.write(self.spark.createDataFrame([row], schema), name)
+            return
+        import pyarrow.parquet as pq
+
+        self._df_cache = {}
+        d = self.path(name)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "._part-00000.parquet.tmp")
+        pq.write_table(self._row_table(row, schema), tmp)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(d, f))
+        os.replace(tmp, os.path.join(d, "part-00000.parquet"))
+
     def invalidate_reads(self) -> None:
         """Drop cached DataFrames after an in-place file mutation that is not
         yet reflected in the index version (mid-mutation dir swaps)."""

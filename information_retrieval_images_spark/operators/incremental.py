@@ -206,8 +206,5 @@ def append_bucket(
     lineage = json.dumps(
         {"job": "append_bucket", "bucket": bucket, "avgdl": avgdl, "start_id": start_id, "repaired": n_orphaned}
     )
-    ck = spark.createDataFrame(
-        [(bucket, "done", n_new + n_orphaned, 0, int((time.time() - t0) * 1000), lineage)], CHECKPOINT_SCHEMA
-    )
-    catalog.append(ck, "checkpoints")
+    catalog.append_row("checkpoints", (bucket, "done", n_new + n_orphaned, 0, int((time.time() - t0) * 1000), lineage), CHECKPOINT_SCHEMA)
     return {"n_new": n_new, "n_docs": n_docs, "avgdl": avgdl, "n_repaired": n_orphaned}

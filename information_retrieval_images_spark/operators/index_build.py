@@ -141,24 +141,20 @@ def write_stats_global(
 ) -> float:
     """Overwrite the single-row global stats table; returns the new avgdl."""
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    catalog.write(
-        catalog.spark.createDataFrame(
-            [
-                (
-                    int(n_docs),
-                    float(avgdl),
-                    K1,
-                    B,
-                    int(sum_dl),
-                    int(max_doc_id),
-                    int(p_logical),
-                    int(tp_n),
-                    INDEX_FORMAT,
-                )
-            ],
-            GLOBAL_STATS_SCHEMA,
-        ),
+    catalog.overwrite_row(
         "stats_global",
+        (
+            int(n_docs),
+            float(avgdl),
+            K1,
+            B,
+            int(sum_dl),
+            int(max_doc_id),
+            int(p_logical),
+            int(tp_n),
+            INDEX_FORMAT,
+        ),
+        GLOBAL_STATS_SCHEMA,
     )
     return avgdl
 
@@ -602,24 +598,23 @@ def build_index(
         tp_n = TERM_PREFIX_PARTITIONS
 
     # Step 0: docs (itself checkpoint #-1: reused verbatim on resume so doc
-    # ids are stable across kill/restart). The extracted frame stays cached
-    # for the whole build: extraction runs ONCE, and every bucket pipeline
-    # reads the cache instead of re-scanning the docs parquet.
-    docs_cached = None
+    # ids are stable across kill/restart). Extraction runs ONCE — into the
+    # docs parquet write — and every downstream consumer reads that table
+    # back column-pruned (r6: the old .persist() paid a 4-6 s in-memory
+    # columnar cache fill to save re-reads that parquet serves for <1 s:
+    # the bucket pipelines prune to their bucket=N directory, the stats agg
+    # reads only (bucket, dl, doc_id), bloom only url).
     if not (resume and catalog.exists("docs")):
         docs = assign_doc_ids(
             pages, n_buckets=n_buckets, num_partitions=nparts, p_logical=p_logical, engine=engine
         )
-        docs_cached = docs.persist()
         # directory-partition by bucket (each of the nparts tasks writes one
         # file per bucket): bucket-filtered reads prune directories AND keep
         # full file-level parallelism — never repartition(n, "bucket"), which
         # collapses to n_buckets live partitions
-        catalog.write(docs_cached, "docs", partition_by=["bucket"])
+        catalog.write(docs, "docs", partition_by=["bucket"])
         _tr("docs_assign_write")
-        docs = docs_cached
-    else:
-        docs = catalog.read("docs")
+    docs = catalog.read("docs")
 
     # one job yields global AND per-bucket stats (avoids a per-bucket agg job
     # later — every extra action costs a full job round-trip)
@@ -691,9 +686,10 @@ def build_index(
                 "format": INDEX_FORMAT,
             }
         )
-        ck = spark.createDataFrame([(b, "done", nd, toks, wall_ms, lineage)], CHECKPOINT_SCHEMA)
         with ck_lock:
-            catalog.append(ck, "checkpoints")
+            catalog.append_row(
+                "checkpoints", (b, "done", nd, toks, wall_ms, lineage), CHECKPOINT_SCHEMA
+            )
         _tr(f"bucket{b}_checkpoint")
         metrics["buckets"][b] = {"docs": nd, "wall_ms": wall_ms}
 
@@ -727,9 +723,6 @@ def build_index(
             for b, e in sorted(errs):
                 if e is not None:
                     raise e
-
-    if docs_cached is not None:
-        docs_cached.unpersist()
 
     metrics["wall_s"] = time.time() - t_start
     return metrics

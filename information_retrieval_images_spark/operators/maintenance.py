@@ -180,10 +180,7 @@ def delete_docs(
         encode_bucket_postings(spark, catalog, b, avgdl, nparts, bloom_n_keys=surviving_counts[b])
 
     lineage = json.dumps({"job": "delete_docs", "buckets": buckets, "n_deleted": n_deleted, "avgdl": avgdl})
-    ck = spark.createDataFrame(
-        [(buckets[0], "done", -n_deleted, 0, int((time.time() - t0) * 1000), lineage)], CHECKPOINT_SCHEMA
-    )
-    catalog.append(ck, "checkpoints")
+    catalog.append_row("checkpoints", (buckets[0], "done", -n_deleted, 0, int((time.time() - t0) * 1000), lineage), CHECKPOINT_SCHEMA)
     return {"n_deleted": n_deleted, "buckets": buckets, "n_docs": n_docs, "avgdl": avgdl}
 
 
@@ -260,10 +257,7 @@ def compact_buckets(
     encode_bucket_postings(spark, catalog, target_bucket, avgdl, nparts, bloom_n_keys=n_moved)
 
     lineage = json.dumps({"job": "compact_buckets", "buckets": buckets, "target": target_bucket, "n_moved": n_moved})
-    ck = spark.createDataFrame(
-        [(target_bucket, "done", n_moved, 0, int((time.time() - t0) * 1000), lineage)], CHECKPOINT_SCHEMA
-    )
-    catalog.append(ck, "checkpoints")
+    catalog.append_row("checkpoints", (target_bucket, "done", n_moved, 0, int((time.time() - t0) * 1000), lineage), CHECKPOINT_SCHEMA)
     return {"n_moved": n_moved, "buckets": buckets, "target": target_bucket}
 
 

@@ -29,6 +29,13 @@ class KillingCatalog(Catalog):
                 raise RuntimeError("simulated crash before checkpoint commit")
         super().append(df, name)
 
+    def append_row(self, name, row, schema):  # r6: manifest rows commit here
+        if name == "checkpoints" and self.armed:
+            self.checkpoint_appends += 1
+            if self.checkpoint_appends == 2:
+                raise RuntimeError("simulated crash before checkpoint commit")
+        super().append_row(name, row, schema)
+
 
 def _postings_key(cat: Catalog) -> pd.DataFrame:
     pdf = cat.read("postings").toPandas()
@@ -171,6 +178,14 @@ class FailOneCheckpointCatalog(Catalog):
                     self.armed = False
                     raise RuntimeError("simulated crash before checkpoint commit")
         super().append(df, name)
+
+    def append_row(self, name, row, schema):  # r6: manifest rows commit here
+        if name == "checkpoints":
+            with self._lock:
+                if self.armed:
+                    self.armed = False
+                    raise RuntimeError("simulated crash before checkpoint commit")
+        super().append_row(name, row, schema)
 
 
 def test_concurrent_bucket_build_kill_resume_identical(spark, pages_df, tmp_path_factory):
