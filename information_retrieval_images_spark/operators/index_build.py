@@ -539,7 +539,11 @@ def build_index(
     pandas UDFs, the input-hint contract path. "sql" — the whole pipeline up
     to block encoding runs JVM-side (extract_text_expr + posting_runs_sql +
     window id assignment): identical output index, proven bit-identical in
-    tests/test_sql_engine.py, with only the block encoder left in Python.
+    tests/test_sql_engine.py EXCEPT for one documented input class —
+    UTF-8-encoded surrogate byte sequences (ED A0-BF 80-BF), where Java's
+    decoder emits one U+FFFD per 3-byte sequence and Python's one per byte
+    (pinned in test_extract_expr_surrogate_bytes_known_divergence) — with
+    only the block encoder left in Python.
     Prefer "sql" where Python-worker throughput is the bottleneck — built-in
     expressions are the fast path, UDFs the slow one.
 
