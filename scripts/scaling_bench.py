@@ -66,7 +66,15 @@ RUNS = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 # bucket plan (bucket_concurrency=2 at n_buckets>1, used by bench.py) is
 # measured by the dedicated fixed-corpus A/B in BENCH/BASELINE.md, not by
 # pooling mixed-plan samples into these cells.
-FMT = 4
+# r6 audit: the round-6 build optimizations are NOT plan-neutral at
+# buckets=1 (one-shuffle sql posting runs, tp-clustered postings/stats
+# writes, byte-capped Arrow batches, pyarrow-written sidecars/metadata
+# rows, dropped docs persist) — every one of them changes the buckets=1
+# build wall. Samples from the r6 tree are therefore generation 5 and MUST
+# NOT pool into the fmt-4 (r4/r5) cells; the r5 2->8 evidence in
+# BENCH/BASELINE.md stands as recorded under fmt 4, and the r6 width-pair
+# blocks are computed from fmt-5 samples only.
+FMT = 5
 
 WORKER = r"""
 import json, shutil, sys, time
